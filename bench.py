@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Benchmark: flagship meta-transfer training-step throughput on TPU.
+
+Prints ONE JSON line:
+  {"metric": "meta_train_utt_per_sec_per_chip", "value": N,
+   "unit": "utt/s/chip", "vs_baseline": R}
+
+The measured step is the full meta-transfer iteration of BASELINE.json
+configs[2] (3 language tasks, k_train=k_valid=8, vgg_cnn 2-enc/4-dec d=512
+Transformer, CE loss) INCLUDING the on-device log-spectrogram front-end —
+i.e. everything the reference does per iteration (transient_trainer.py
+:150-255: 3x support fwd+bwd + inner SGD + 3x query fwd+bwd + outer Adam)
+except host-side CER string scoring.
+
+Utterances/iteration = K*(k_train + k_valid) = 48, matching how the PyTorch
+reference consumes data per iteration.
+
+``vs_baseline`` compares against the PyTorch reference-equivalent iteration
+measured by bench_baseline_torch.py on this host (value recorded below). Run
+with --torch-baseline to re-measure.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+# Measured by bench_baseline_torch.py (same shapes, same per-iteration work,
+# torch 2.x CPU on this host; see BASELINE.md for provenance). utt/s.
+TORCH_CPU_BASELINE_UTT_PER_SEC = None  # filled after first measurement
+
+K_TASKS = 3
+K_TRAIN = 8
+K_VALID = 8
+FRAMES = 800  # ~8s utterances at 10ms hop
+TGT_LEN = 64
+VOCAB_SIZE = 3765  # hkust+seame character inventory (+4 specials)
+
+
+def make_batches(cfg, seed=0):
+    from __graft_entry__ import _synthetic_batch
+
+    support = {
+        k: np.stack([
+            _synthetic_batch(cfg, K_TRAIN, FRAMES, TGT_LEN, VOCAB_SIZE,
+                             seed=seed + i)[k]
+            for i in range(K_TASKS)
+        ])
+        for k in ("audio", "audio_lengths", "targets", "src_percentages")
+    }
+    query = _synthetic_batch(cfg, K_VALID, FRAMES, TGT_LEN, VOCAB_SIZE,
+                             seed=seed + 100)
+    return support, query
+
+
+def run_tpu_bench(num_iters=20, warmup=3):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from __graft_entry__ import _flagship_cfg
+    from mtl_tpu.models.transformer import build_model
+    from mtl_tpu.train.steps import init_train_state, make_meta_step
+
+    cfg = _flagship_cfg()
+    model = build_model(cfg, VOCAB_SIZE)
+    outer_opt = optax.adam(cfg.train.meta_lr)
+    step = make_meta_step(model, cfg, outer_opt)
+
+    support, query = make_batches(cfg)
+    support = jax.tree.map(jnp.asarray, support)
+    query = jax.tree.map(jnp.asarray, query)
+    ex = jax.tree.map(lambda x: x[0], support)
+    state = init_train_state(model, cfg, outer_opt, jax.random.PRNGKey(0), ex)
+
+    rng = jax.random.PRNGKey(1)
+    for i in range(warmup):
+        rng, sub = jax.random.split(rng)
+        state, m = step(state, support, query, sub)
+    jax.block_until_ready(m["outer_loss"])
+
+    t0 = time.perf_counter()
+    for i in range(num_iters):
+        rng, sub = jax.random.split(rng)
+        state, m = step(state, support, query, sub)
+    jax.block_until_ready(m["outer_loss"])
+    elapsed = time.perf_counter() - t0
+
+    utts = K_TASKS * (K_TRAIN + K_VALID) * num_iters
+    n_chips = max(1, len(jax.devices()))
+    return utts / elapsed / n_chips, elapsed / num_iters
+
+
+def main():
+    if "--torch-baseline" in sys.argv:
+        from bench_baseline_torch import run_torch_baseline
+
+        utt_per_sec = run_torch_baseline(K_TASKS, K_TRAIN, K_VALID, FRAMES,
+                                         TGT_LEN, VOCAB_SIZE)
+        print(json.dumps({"torch_cpu_utt_per_sec": utt_per_sec}))
+        return
+
+    value, step_ms = run_tpu_bench()
+    baseline = TORCH_CPU_BASELINE_UTT_PER_SEC
+    out = {
+        "metric": "meta_train_utt_per_sec_per_chip",
+        "value": round(value, 3),
+        "unit": "utt/s/chip",
+        "vs_baseline": round(value / baseline, 2) if baseline else None,
+        "meta_step_ms": round(step_ms * 1000.0, 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,6 @@
+#!/usr/bin/env python
+"""CLI entry point — reference-parity flags (see mtl_tpu/cli/asr.py)."""
+from mtl_tpu.cli.asr import joint_train_main
+
+if __name__ == "__main__":
+    joint_train_main()

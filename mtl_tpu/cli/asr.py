@@ -1,0 +1,202 @@
+"""ASR CLI entry implementations (reference entry-point parity).
+
+* ``meta_transfer_train`` — meta_transfer_train.py (TransientTrainer)
+* ``joint_train`` — joint_train.py (JointTrainer, +adversarial/multitask)
+* ``train`` — train.py (EpochTrainer; note the reference's train.py is stale,
+  SURVEY.md §1 — this one works)
+* ``finetune`` — finetune.py (JointTrainer from a checkpoint)
+* ``test`` — test.py (beam/greedy decode + CER/WER/EN-ZH CER report)
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..config import Config, build_parser, config_from_args
+from ..data.vocab import post_process
+from ..models.discriminator import Discriminator
+from ..train.trainer import (
+    EpochTrainer,
+    JointTrainer,
+    MetaTrainer,
+    TransientTrainer,
+    batch_cer,
+)
+from ..utils.logger import log_print
+from ..utils.metrics import calculate_cer, calculate_cer_en_zh, calculate_wer
+from .common import (
+    build_asr_model,
+    build_datasets,
+    build_vocab,
+    maybe_resume,
+    setup,
+)
+
+
+def _prepare(cfg: Config):
+    setup(cfg)
+    cfg, vocab, state, start_it, metrics = maybe_resume(cfg)
+    if vocab is None:
+        vocab = build_vocab(cfg)
+    train_ds, valid_sets = build_datasets(cfg, vocab)
+    model = build_asr_model(cfg, vocab)
+    return cfg, vocab, model, train_ds, valid_sets, state, start_it, metrics
+
+
+def meta_transfer_train_main(argv=None, trainer_cls=TransientTrainer):
+    parser = build_parser("Transformer ASR meta training (TPU)")
+    args = parser.parse_args(argv)
+    cfg = config_from_args(args)
+    cfg, vocab, model, train_ds, valid_sets, state, start_it, metrics = (
+        _prepare(cfg)
+    )
+    trainer = trainer_cls(model, cfg, vocab)
+    log_print("Transient Trainer is initialized" if
+              trainer_cls is TransientTrainer else "Meta Trainer is initialized")
+    return trainer.train(train_ds, valid_sets, start_it=start_it,
+                         num_it=cfg.train.epochs, last_metrics=metrics)
+
+
+def meta_train_main(argv=None):
+    """MAML variant (trainer/asr/meta_trainer.py — not wired to an entry
+    point in the reference; exposed here as a first-class mode)."""
+    return meta_transfer_train_main(argv, trainer_cls=MetaTrainer)
+
+
+def joint_train_main(argv=None):
+    parser = build_parser("Transformer ASR joint training (TPU)")
+    args = parser.parse_args(argv)
+    cfg = config_from_args(args)
+    cfg, vocab, model, train_ds, valid_sets, state, start_it, metrics = (
+        _prepare(cfg)
+    )
+    trainer = JointTrainer(model, cfg, vocab)
+    disc = None
+    if cfg.train.adversarial or cfg.train.multitask:
+        disc = Discriminator(cfg.train.num_class)
+    return trainer.train(train_ds, valid_sets, start_it=start_it,
+                         num_it=cfg.train.epochs, last_metrics=metrics,
+                         discriminator=disc)
+
+
+def train_main(argv=None):
+    parser = build_parser("Transformer ASR epoch training (TPU)")
+    args = parser.parse_args(argv)
+    cfg = config_from_args(args)
+    cfg, vocab, model, train_ds, valid_sets, state, start_it, metrics = (
+        _prepare(cfg)
+    )
+    trainer = EpochTrainer(model, cfg, vocab)
+    return trainer.train(train_ds, valid_sets, start_epoch=start_it,
+                         num_epochs=cfg.train.epochs)
+
+
+def finetune_main(argv=None):
+    """finetune.py parity: load checkpoint (meta or joint — our checkpoints
+    are format-identical), then JointTrainer."""
+    parser = build_parser("Transformer ASR finetuning (TPU)")
+    args = parser.parse_args(argv)
+    cfg = config_from_args(args)
+    assert cfg.continue_from, "--continue-from is required for finetune"
+    return joint_train_main(argv)
+
+
+def test_main(argv=None):
+    """test.py parity: load best model, decode the test manifests with
+    greedy or beam (+ optional LM fusion), report CER/WER + EN/ZH CER."""
+    parser = build_parser("Transformer ASR evaluation (TPU)")
+    args = parser.parse_args(argv)
+    cfg = config_from_args(args)
+    setup(cfg)
+    assert cfg.continue_from, "--continue-from is required for test"
+
+    from ..data.dataset import SpectrogramDataset
+    from ..decode.beam import beam_search
+    from ..decode.greedy import greedy_search
+    from ..train.steps import init_train_state, make_eval_step, prepare_features
+    from ..train.optim import make_joint_optimizer
+    from ..utils.checkpoint import load_checkpoint
+    import jax.numpy as jnp
+
+    saved_cfg, vocab, raw_state, step, _ = load_checkpoint(cfg.continue_from)
+    # decode/audio settings come from the CLI, model arch from the checkpoint
+    saved_cfg.decode = cfg.decode
+    saved_cfg.data = cfg.data
+    model = build_asr_model(saved_cfg, vocab)
+    params = raw_state["params"]
+
+    lm = None
+    if cfg.decode.lm_rescoring:
+        from ..lm.fusion import LMScorer
+
+        lm = LMScorer.load(cfg.decode.lm_path)
+
+    test_sets = [
+        SpectrogramDataset(vocab, saved_cfg, [m], normalize=True)
+        for m in cfg.data.test_manifest_list
+    ]
+    total_cer = total_wer = total_char = total_word = 0
+    total_en_cer = total_zh_cer = total_en_char = total_zh_char = 0
+    start = time.time()
+    for ds in test_sets:
+        for batch in ds.iter_batches(cfg.train.k_valid, shuffle=False):
+            feats, lengths = prepare_features(
+                jax.tree.map(jnp.asarray, batch), saved_cfg
+            )
+            if cfg.decode.beam_search:
+                _, hyps = beam_search(
+                    model, params, feats, lengths, vocab,
+                    beam_width=cfg.decode.beam_width,
+                    nbest=1,
+                    max_steps=cfg.decode.max_steps,
+                    start_token=vocab.SOS_ID,
+                    c_weight=cfg.decode.c_weight,
+                    lm=lm, lm_rescoring=cfg.decode.lm_rescoring,
+                    lm_weight=cfg.decode.lm_weight,
+                )
+                if len(hyps) == 0 or len(hyps[0].strip()) == 0:
+                    log_print(">>>>>>> switch to greedy")
+                    hyps = greedy_search(model, params, feats, lengths, vocab,
+                                         cfg.decode.max_steps, vocab.SOS_ID)
+            else:
+                hyps = greedy_search(model, params, feats, lengths, vocab,
+                                     cfg.decode.max_steps, vocab.SOS_ID)
+            golds = [
+                post_process(vocab.decode_ids(row), vocab.special_token_list)
+                for row in batch["targets"]
+            ]
+            for hyp, gold in zip(hyps, golds):
+                hyp = post_process(hyp, vocab.special_token_list)
+                cer = calculate_cer(hyp.replace(" ", ""), gold.replace(" ", ""))
+                wer = calculate_wer(hyp, gold)
+                en_d, zh_d, en_n, zh_n = calculate_cer_en_zh(hyp, gold)
+                total_cer += cer
+                total_wer += wer
+                total_char += len(gold.replace(" ", ""))
+                total_word += len(gold.split())
+                total_en_cer += en_d
+                total_zh_cer += zh_d
+                total_en_char += en_n
+                total_zh_char += zh_n
+                log_print(f"PRED: {hyp}")
+                log_print(f"GOLD: {gold}")
+    log_print(
+        "TOTAL CER: {:.2f}% WER: {:.2f}% EN CER: {:.2f}% ZH CER: {:.2f}% "
+        "TIME: {:.2f}s".format(
+            total_cer * 100.0 / max(total_char, 1),
+            total_wer * 100.0 / max(total_word, 1),
+            total_en_cer * 100.0 / max(total_en_char, 1),
+            total_zh_cer * 100.0 / max(total_zh_char, 1),
+            time.time() - start,
+        )
+    )
+    return {
+        "cer": total_cer * 100.0 / max(total_char, 1),
+        "wer": total_wer * 100.0 / max(total_word, 1),
+        "en_cer": total_en_cer * 100.0 / max(total_en_char, 1),
+        "zh_cer": total_zh_cer * 100.0 / max(total_zh_char, 1),
+    }

@@ -1,0 +1,111 @@
+"""Host-side audio I/O and augmentation.
+
+Replaces the reference's torchaudio loading + sox subprocesses
+(utils/audio.py:7-61) with dependency-free numpy implementations:
+
+* ``load_audio``: WAV (PCM16/PCM32/float32) decode via the stdlib ``wave``
+  module, mean over channels (utils/audio.py:7-12 semantics), or ``.npy``
+  float arrays (test fixtures).
+* ``augment_audio``: random tempo in [0.85, 1.15] via linear-interpolation
+  resampling and random gain in [-6, 8] dB (utils/audio.py:49-61 —
+  ``augment_audio_with_sox`` semantics without the sox binary).
+* ``inject_noise``: mix a random noise-file segment at a random level scaled
+  by the energy ratio (utils/data_loader.py:388-399).
+"""
+
+from __future__ import annotations
+
+import os
+import wave
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def load_audio(path: str) -> np.ndarray:
+    """Decode an audio file to float32 mono in [-1, 1]."""
+    if path.endswith(".npy"):
+        y = np.load(path)
+        if y.ndim > 1:
+            y = y.mean(axis=-1)
+        return y.astype(np.float32)
+    with wave.open(path, "rb") as f:
+        n_ch = f.getnchannels()
+        width = f.getsampwidth()
+        n = f.getnframes()
+        raw = f.readframes(n)
+    if width == 2:
+        y = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        y = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif width == 1:
+        y = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported sample width {width} in {path}")
+    if n_ch > 1:
+        y = y.reshape(-1, n_ch).mean(axis=1)
+    return y
+
+
+def get_audio_length(path: str, sample_rate: int = 16000) -> float:
+    """Duration in seconds (utils/audio.py:14-18 soxi parity)."""
+    if path.endswith(".npy"):
+        return len(np.load(path, mmap_mode="r")) / sample_rate
+    with wave.open(path, "rb") as f:
+        return f.getnframes() / f.getframerate()
+
+
+def resample_linear(y: np.ndarray, rate: float) -> np.ndarray:
+    """Tempo change by factor ``rate`` (>1 = faster = shorter)."""
+    n_out = max(1, int(round(len(y) / rate)))
+    x_old = np.arange(len(y), dtype=np.float64)
+    x_new = np.linspace(0, len(y) - 1, n_out)
+    return np.interp(x_new, x_old, y).astype(np.float32)
+
+
+def augment_audio(
+    y: np.ndarray,
+    rng: np.random.RandomState,
+    tempo_range: Tuple[float, float] = (0.85, 1.15),
+    gain_range: Tuple[float, float] = (-6.0, 8.0),
+) -> np.ndarray:
+    """Random tempo + gain perturbation (utils/audio.py:49-61 parity)."""
+    tempo = rng.uniform(*tempo_range)
+    gain_db = rng.uniform(*gain_range)
+    y = resample_linear(y, tempo)
+    return (y * (10.0 ** (gain_db / 20.0))).astype(np.float32)
+
+
+class NoiseInjector:
+    """Mix noise-file segments at random SNR (utils/data_loader.py:367-399)."""
+
+    def __init__(
+        self,
+        noise_dir: str,
+        sample_rate: int = 16000,
+        noise_levels: Tuple[float, float] = (0.0, 0.5),
+    ):
+        if not os.path.exists(noise_dir):
+            raise IOError(f"Directory doesn't exist: {noise_dir}")
+        self.paths = sorted(
+            os.path.join(noise_dir, f)
+            for f in os.listdir(noise_dir)
+            if f.endswith((".wav", ".npy"))
+        )
+        self.sample_rate = sample_rate
+        self.noise_levels = noise_levels
+
+    def inject(self, data: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
+        noise_path = self.paths[rng.randint(len(self.paths))]
+        noise = load_audio(noise_path)
+        level = rng.uniform(*self.noise_levels)
+        if len(noise) < len(data):
+            reps = int(np.ceil(len(data) / len(noise)))
+            noise = np.tile(noise, reps)
+        start = rng.randint(0, len(noise) - len(data) + 1)
+        seg = noise[start:start + len(data)]
+        noise_energy = np.sqrt(seg.dot(seg) / seg.size) + 1e-12
+        data_energy = np.sqrt(data.dot(data) / data.size)
+        return (data + level * seg * data_energy / noise_energy).astype(
+            np.float32
+        )

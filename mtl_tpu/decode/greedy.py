@@ -1,0 +1,77 @@
+"""Batched greedy decoding with a KV cache under lax.scan.
+
+Parity: Decoder.greedy_search (modules/decoder.py:131-184) — start token,
+fixed 300-step loop (:145), argmax next token, host cuts each row's string at
+the first EOS. The reference re-forwards the whole prefix every step with no
+KV cache and NO dec-enc attention mask (padded encoder frames are attended —
+:160); we replicate the math (cache decode is exact for a causal post-LN
+stack) at O(1) work per step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+
+from ..data.vocab import EOS_ID, Vocab
+from ..models.transformer import ASRTransformer
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+def greedy_decode_ids(
+    model: ASRTransformer,
+    params,
+    features: jnp.ndarray,  # B x T x F
+    input_lengths: jnp.ndarray,  # B
+    max_steps: int = 300,
+    start_token: int = 1,  # SOS
+) -> jnp.ndarray:
+    """Returns decoded token ids [B, max_steps] (EOS handling on host)."""
+    b = features.shape[0]
+    enc, enc_kvs = model.apply(
+        params, features, input_lengths, method=ASRTransformer.prepare_decode
+    )
+    caches = model.apply(params, b, max_steps + 1,
+                         method=ASRTransformer.init_cache)
+    y0 = jnp.full((b,), start_token, jnp.int32)
+
+    def step(carry, t):
+        y_t, caches = carry
+        logits, caches = model.apply(
+            params, y_t, t, enc_kvs, caches,
+            method=ASRTransformer.decode_step,
+        )
+        next_y = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (next_y, caches), next_y
+
+    (_, _), ys = jax.lax.scan(step, (y0, caches), jnp.arange(max_steps))
+    return jnp.transpose(ys)  # B x max_steps
+
+
+def ids_to_strings(ids, vocab: Vocab) -> List[str]:
+    """Cut each row at the first EOS and join labels (greedy_search
+    string-building parity, modules/decoder.py:175-184)."""
+    out = []
+    import numpy as np
+
+    ids = np.asarray(ids)
+    for row in ids:
+        chars = []
+        for i in row:
+            if int(i) == EOS_ID:
+                break
+            chars.append(vocab.id2label[int(i)])
+        out.append("".join(chars))
+    return out
+
+
+def greedy_search(
+    model: ASRTransformer, params, features, input_lengths, vocab: Vocab,
+    max_steps: int = 300, start_token: int = 1,
+) -> List[str]:
+    ids = greedy_decode_ids(model, params, features, input_lengths,
+                            max_steps, start_token)
+    return ids_to_strings(ids, vocab)

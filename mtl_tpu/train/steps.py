@@ -1,0 +1,255 @@
+"""Jitted training steps.
+
+This is the TPU-native re-expression of the reference control loops:
+
+* ``joint``: trainer/asr/joint_trainer.py:195-271 — per-iteration loop over K
+  task batches accumulating ``grad(loss_k / K)`` then one Adam/SGD step.
+  Here: ``jax.vmap`` the forward over the stacked task axis, take
+  ``grad(mean_k loss_k)`` — algebraically identical — in ONE compiled program.
+
+* ``meta_transfer``: trainer/asr/transient_trainer.py:155-255 — the paper's
+  algorithm. Reference (sequential, per task): snapshot weights -> forward on
+  task support batch -> inner SGD step -> forward the SHARED query batch
+  (always drawn from the last manifest = code-switched target,
+  transient_trainer.py:168) at the adapted weights -> accumulate outer grad
+  (copy-grad = first-order) -> restore snapshot; finally Adam outer step.
+  Here this is the pure function
+
+      outer_grad = (1/K) * sum_k  d/dp  L_query( p - lr_inner * clip(dL_k/dp) )
+
+  with ``stop_gradient`` on the inner gradient for first-order (copy-grad
+  parity — the torch autograd graph never flows through ``inner_opt.step``
+  either, so the reference is always first-order) and full grad-through-inner
+  when ``second_order=True`` (the stretch config). Tasks run under ``vmap``
+  (the snapshot/restore dance is free: params are immutable pytrees), and
+  outer grads are ``psum``-reduced by pjit when the step runs sharded over a
+  mesh.
+
+* ``maml``: trainer/asr/meta_trainer.py — identical skeleton but each task's
+  outer loss is evaluated on the task's OWN query batch.
+
+Batches are dicts of stacked, statically-shaped arrays. Audio can enter raw
+(``audio``/``audio_lengths``) — the fused device front-end then runs inside
+the same XLA program as the model — or as precomputed ``features``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..config import Config
+from ..data.vocab import PAD_ID
+from ..ops.frontend import log_spectrogram
+from ..ops.targets import make_teacher_forcing, target_lengths
+from .losses import ce_loss, ctc_loss, masked_loss_guard
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    batch_stats: Any = None  # emb_cnn BatchNorm only
+
+
+def prepare_features(batch: Dict[str, jnp.ndarray], cfg: Config):
+    """Return (features [B,T,F], input_lengths [B]) from either raw audio or
+    precomputed features."""
+    if "features" in batch:
+        return batch["features"], batch["input_lengths"]
+    feats, frame_lengths = log_spectrogram(
+        batch["audio"], batch["audio_lengths"],
+        n_fft=cfg.audio.n_fft, hop=cfg.audio.hop_length,
+        window=cfg.audio.window, normalize=cfg.audio.normalize,
+        prepadded=True,  # collate_audio reflect-pads per utterance
+    )
+    return feats, frame_lengths
+
+
+def make_forward_fn(model, cfg: Config) -> Callable:
+    """Teacher-forced forward + loss. Returns (loss, aux) where aux carries
+    argmax hyps / gold for host-side CER (transient_trainer.py:25-73)."""
+
+    smoothing = cfg.train.label_smoothing
+    loss_type = cfg.train.loss
+
+    def forward(params, batch, dropout_rng=None, deterministic=True):
+        feats, input_lengths = prepare_features(batch, cfg)
+        targets = batch["targets"]
+        seq_in, seq_out = make_teacher_forcing(targets)
+        rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
+        logits = model.apply(
+            params, feats, input_lengths, seq_in,
+            deterministic=deterministic, rngs=rngs,
+        )
+        if loss_type == "ctc":
+            # Reference quirk: CTC consumes the *decoder* outputs with input
+            # lengths rebuilt from src percentages (utils/metrics.py:127-148,
+            # transient_trainer.py:38-39). seq lengths here are exact.
+            t = logits.shape[1]
+            in_lens = jnp.minimum(
+                (batch.get("src_percentages",
+                           jnp.ones(targets.shape[0])) * t).astype(jnp.int32),
+                t,
+            )
+            loss = ctc_loss(jax.nn.log_softmax(logits, -1), in_lens, targets,
+                            target_lengths(targets))
+            num_correct = jnp.zeros((), jnp.int32)
+        else:
+            loss, num_correct = ce_loss(logits, seq_out, PAD_ID, smoothing)
+        loss = masked_loss_guard(loss)
+        aux = {
+            "hyp": jnp.argmax(logits, axis=-1),  # B x L
+            "gold": seq_out,
+            "num_correct": num_correct,
+        }
+        return loss, aux
+
+    return forward
+
+
+def _clip_tree(grads, max_norm: float):
+    gnorm = optax.global_norm(grads)
+    scale = jnp.minimum(1.0, max_norm / (gnorm + 1e-6))
+    return jax.tree.map(lambda g: g * scale, grads)
+
+
+# ---------------------------------------------------------------------------
+# Joint / plain step
+# ---------------------------------------------------------------------------
+
+def make_joint_step(model, cfg: Config, optimizer) -> Callable:
+    """One jitted joint-training iteration over stacked task batches.
+
+    ``batches``: pytree whose leaves have a leading task axis K (K=1 for the
+    plain epoch trainer). Gradient = grad of mean-over-tasks loss — identical
+    to the reference's accumulate-(loss/K)-then-step (joint_trainer.py:226-266).
+    """
+    forward = make_forward_fn(model, cfg)
+
+    def joint_loss(params, batches, dropout_rng):
+        k = jax.tree.leaves(batches)[0].shape[0]
+        rngs = jax.random.split(dropout_rng, k)
+
+        def one(batch, rng):
+            return forward(params, batch, rng, deterministic=False)
+
+        losses, aux = jax.vmap(one, in_axes=(0, 0))(batches, rngs)
+        return jnp.mean(losses), aux
+
+    @jax.jit
+    def step(state: TrainState, batches, dropout_rng):
+        (loss, aux), grads = jax.value_and_grad(joint_loss, has_aux=True)(
+            state.params, batches, dropout_rng
+        )
+        if cfg.train.clip:
+            grads = _clip_tree(grads, cfg.train.max_norm)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  opt_state=opt_state)
+        return new_state, loss, aux
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Meta steps (meta-transfer and MAML)
+# ---------------------------------------------------------------------------
+
+def make_meta_step(
+    model,
+    cfg: Config,
+    outer_optimizer,
+    per_task_query: bool = False,
+) -> Callable:
+    """One jitted meta iteration.
+
+    ``support``: pytree with leading task axis K.
+    ``query``: single batch (meta-transfer: the code-switched target task,
+    transient_trainer.py:168) or, when ``per_task_query``, a pytree with
+    leading task axis K (MAML, meta_trainer.py:244).
+    """
+    forward = make_forward_fn(model, cfg)
+    inner_lr = cfg.train.lr
+    second_order = cfg.train.second_order
+    clip = cfg.train.clip
+    max_norm = cfg.train.max_norm
+
+    def task_outer_loss(params, support_batch, query_batch, rng):
+        rng_s, rng_q = jax.random.split(rng)
+        (s_loss, s_aux), g = jax.value_and_grad(forward, has_aux=True)(
+            params, support_batch, rng_s, False
+        )
+        if clip:
+            g = _clip_tree(g, max_norm)
+        if not second_order:
+            g = jax.lax.stop_gradient(g)
+        adapted = jax.tree.map(lambda w, gw: w - inner_lr * gw, params, g)
+        q_loss, q_aux = forward(adapted, query_batch, rng_q, False)
+        return q_loss, (s_loss, s_aux, q_aux)
+
+    def outer_loss(params, support, query, dropout_rng):
+        k = jax.tree.leaves(support)[0].shape[0]
+        rngs = jax.random.split(dropout_rng, k)
+        q_axes = 0 if per_task_query else None
+        losses, (s_losses, s_aux, q_aux) = jax.vmap(
+            task_outer_loss, in_axes=(None, 0, q_axes, 0)
+        )(params, support, query, rngs)
+        # mean == reference's sum of (loss / K) across tasks
+        return jnp.mean(losses), (s_losses, s_aux, q_aux)
+
+    @jax.jit
+    def step(state: TrainState, support, query, dropout_rng):
+        (loss, (s_losses, s_aux, q_aux)), grads = jax.value_and_grad(
+            outer_loss, has_aux=True
+        )(state.params, support, query, dropout_rng)
+        if clip:
+            grads = _clip_tree(grads, max_norm)
+        updates, opt_state = outer_optimizer.update(grads, state.opt_state,
+                                                    state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  opt_state=opt_state)
+        metrics = {
+            "outer_loss": loss,
+            "support_losses": s_losses,
+            "support_hyp": s_aux["hyp"],  # K x B x L
+            "support_gold": s_aux["gold"],
+            "query_hyp": q_aux["hyp"],
+            "query_gold": q_aux["gold"],
+        }
+        return new_state, metrics
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Evaluation step
+# ---------------------------------------------------------------------------
+
+def make_eval_step(model, cfg: Config) -> Callable:
+    forward = make_forward_fn(model, cfg)
+
+    @jax.jit
+    def step(params, batch):
+        loss, aux = forward(params, batch, None, deterministic=True)
+        return loss, aux
+
+    return step
+
+
+def init_train_state(model, cfg: Config, optimizer, rng,
+                     example_batch) -> TrainState:
+    feats, input_lengths = prepare_features(example_batch, cfg)
+    seq_in, _ = make_teacher_forcing(example_batch["targets"])
+    params = model.init(rng, feats, input_lengths, seq_in)
+    opt_state = optimizer.init(params)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=opt_state)

@@ -1,0 +1,431 @@
+"""Training-loop orchestration (host side).
+
+Four trainers mirroring the reference layer L4 (SURVEY.md §1):
+
+* ``TransientTrainer`` — meta-transfer (trainer/asr/transient_trainer.py):
+  per-iteration inner-SGD-per-task + shared code-switched query, outer Adam.
+* ``MetaTrainer`` — standard MAML (trainer/asr/meta_trainer.py): per-task
+  query batches.
+* ``JointTrainer`` — iteration-based multi-task training
+  (trainer/asr/joint_trainer.py) incl. adversarial/multitask discriminator
+  heads; also serves finetune.py.
+* ``EpochTrainer`` — classic epoch loop (trainer/asr/trainer.py) with the
+  Noam schedule.
+
+All device work happens inside the jitted steps (train/steps.py); the host
+loop does data prefetch (double-buffer thread, reference parity
+transient_trainer.py:127-139), metric bookkeeping (moving windows, history),
+checkpointing, early stopping, and logging with the reference's line formats.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from collections import deque
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config
+from ..data.dataset import SpectrogramDataset
+from ..data.vocab import Vocab, post_process
+from ..utils.checkpoint import save_checkpoint
+from ..utils.logger import log_print
+from ..utils.metrics import calculate_cer_batch, calculate_wer
+from .optim import make_joint_optimizer, make_meta_optimizers, noam_schedule
+from .steps import (
+    TrainState,
+    init_train_state,
+    make_eval_step,
+    make_joint_step,
+    make_meta_step,
+)
+
+
+def batch_cer(hyp_ids, gold_ids, vocab: Vocab):
+    """(total_cer, total_char) from id arrays, reference post-processing
+    (forward_one_batch, transient_trainer.py:55-64)."""
+    hyp_ids = np.asarray(hyp_ids).reshape(-1, np.asarray(hyp_ids).shape[-1])
+    gold_ids = np.asarray(gold_ids).reshape(-1, np.asarray(gold_ids).shape[-1])
+    pairs = []
+    total_char = 0
+    for h, g in zip(hyp_ids, gold_ids):
+        hs = post_process(vocab.decode_ids(h), vocab.special_token_list)
+        gs = post_process(vocab.decode_ids(g), vocab.special_token_list)
+        pairs.append((hs.replace(" ", ""), gs.replace(" ", "")))
+        total_char += len(gs.replace(" ", ""))
+    dists = calculate_cer_batch(pairs)
+    return int(sum(dists)), int(total_char)
+
+
+class Prefetcher:
+    """Double-buffered background fetch (transient_trainer.py:127-139)."""
+
+    def __init__(self, fetch_fn):
+        self.fetch_fn = fetch_fn
+        self._result = None
+        self._thread = None
+        self.start()
+
+    def start(self):
+        def run():
+            self._result = self.fetch_fn()
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def get(self):
+        self._thread.join()
+        out = self._result
+        self.start()
+        return out
+
+
+class EarlyStopper:
+    """`criterion,patience` parsing + best-value tracking
+    (transient_trainer.py:93,337-360)."""
+
+    def __init__(self, early_stop: str):
+        crit, val = early_stop.split(",")
+        self.criterion = crit
+        self.patience = int(val)
+        self.best = 1e9
+        self.count = 0
+
+    def update(self, avg_loss: float, avg_cer: float) -> bool:
+        """Returns True if this is a new best."""
+        value = avg_cer if self.criterion == "cer" else avg_loss
+        if value < self.best:
+            self.best = value
+            self.count = 0
+            return True
+        self.count += 1
+        return False
+
+    @property
+    def should_stop(self) -> bool:
+        return self.count >= self.patience
+
+
+class TrainerBase:
+    def __init__(self, model, cfg: Config, vocab: Vocab):
+        self.model = model
+        self.cfg = cfg
+        self.vocab = vocab
+        self.eval_step = make_eval_step(model, cfg)
+
+    def evaluate(self, params, valid_sets: Sequence[SpectrogramDataset],
+                 it: int):
+        """No-grad eval over the valid loaders (transient_trainer.py:280-331)."""
+        final_losses, final_cers = [], []
+        for ind, ds in enumerate(valid_sets):
+            total_loss, total_cer, total_char, n_batches = 0.0, 0, 0, 0
+            for batch in ds.iter_batches(self.cfg.train.k_valid,
+                                         shuffle=False):
+                loss, aux = self.eval_step(params, batch)
+                cer, nchar = batch_cer(aux["hyp"], aux["gold"], self.vocab)
+                total_loss += float(loss)
+                total_cer += cer
+                total_char += max(nchar, 1) if nchar else 1
+                n_batches += 1
+            if n_batches == 0:
+                continue
+            vloss = total_loss / n_batches
+            vcer = total_cer * 100.0 / max(total_char, 1)
+            final_losses.append(vloss)
+            final_cers.append(vcer)
+            log_print(
+                "(Iteration {}) VALID SET {} LOSS:{:.4f} CER:{:.2f}%".format(
+                    it + 1, ind, vloss, vcer
+                )
+            )
+        avg_loss = sum(final_losses) / max(len(final_losses), 1)
+        avg_cer = sum(final_cers) / max(len(final_cers), 1)
+        log_print(
+            "(Iteration {}) AVG VALID LOSS:{:.4f} AVG CER:{:.2f}%".format(
+                it + 1, avg_loss, avg_cer
+            )
+        )
+        return avg_loss, avg_cer, final_losses, final_cers
+
+
+class TransientTrainer(TrainerBase):
+    """Meta-transfer trainer (transient_trainer.py:79-377)."""
+
+    per_task_query = False
+
+    def train(
+        self,
+        train_dataset: SpectrogramDataset,
+        valid_sets: Sequence[SpectrogramDataset],
+        start_it: int = 0,
+        num_it: int = 1000,
+        state: Optional[TrainState] = None,
+        last_metrics: Optional[dict] = None,
+    ) -> TrainState:
+        cfg = self.cfg
+        inner_lr, outer_opt = make_meta_optimizers(cfg)
+        step_fn = make_meta_step(self.model, cfg, outer_opt,
+                                 per_task_query=self.per_task_query)
+
+        fetch = lambda: train_dataset.sample_meta_batch(
+            cfg.train.k_train, cfg.train.k_valid,
+            per_task_query=self.per_task_query,
+        )
+        prefetch = Prefetcher(fetch)
+
+        rng = jax.random.PRNGKey(cfg.train.seed)
+        if state is None:
+            support, query = fetch()
+            ex = jax.tree.map(lambda x: x[0], support)
+            state = init_train_state(self.model, cfg, outer_opt,
+                                     jax.random.PRNGKey(cfg.train.seed), ex)
+
+        stopper = EarlyStopper(cfg.train.early_stop)
+        history: List[dict] = (last_metrics or {}).get("history", [])
+        window = 100
+        last_sum_loss, last_sum_cer, last_sum_char = (
+            deque(maxlen=window), deque(maxlen=window), deque(maxlen=window)
+        )
+        total_time = 0.0
+        num_tasks = len(train_dataset.ids_list)
+
+        it = start_it
+        while it < num_it:
+            support, query = prefetch.get()
+            start_time = time.time()
+            rng, sub = jax.random.split(rng)
+            state, m = step_fn(state, support, query, sub)
+            outer_loss = float(m["outer_loss"])
+            if (it + 1) % max(cfg.train.train_cer_every, 1) == 0:
+                cer, nchar = batch_cer(m["support_hyp"], m["support_gold"],
+                                       self.vocab)
+            else:
+                cer, nchar = 0, 1
+            total_time += time.time() - start_time
+            last_sum_loss.append(outer_loss)
+            last_sum_cer.append(cer)
+            last_sum_char.append(max(nchar, 1))
+
+            log_print(
+                "(Iteration {}) TRAIN LOSS:{:.4f} CER:{:.2f}% "
+                "LR:{:.7f} TOTAL TIME:{:.7f}".format(
+                    it + 1, outer_loss, cer * 100.0 / max(nchar, 1),
+                    cfg.train.meta_lr, total_time
+                )
+            )
+            if (it + 1) % 1000 == 0:
+                log_print(
+                    "(Summary Iteration {} | MA {}) TRAIN LOSS:{:.4f} "
+                    "CER:{:.2f}%".format(
+                        it + 1, window,
+                        sum(last_sum_loss) / len(last_sum_loss),
+                        sum(last_sum_cer) * 100.0 / max(sum(last_sum_char), 1),
+                    )
+                )
+
+            if (it + 1) % cfg.train.evaluate_every == 0:
+                avg_loss, avg_cer, vlosses, vcers = self.evaluate(
+                    state.params, valid_sets, it
+                )
+                metrics = {
+                    "avg_valid_loss": avg_loss,
+                    "avg_valid_cer": avg_cer,
+                    "valid_loss": vlosses,
+                    "valid_cer": vcers,
+                    "history": history,
+                }
+                history.append(dict(metrics, history=None))
+                if (it + 1) % cfg.train.save_every == 0:
+                    save_checkpoint(cfg, self.vocab, state, it + 1, metrics)
+                if stopper.update(avg_loss, avg_cer):
+                    save_checkpoint(cfg, self.vocab, state, it + 1, metrics,
+                                    best_model=True)
+                else:
+                    log_print(f"count_stop: {stopper.count}")
+                if stopper.should_stop:
+                    log_print("EARLY STOP")
+                    break
+            it += 1
+        return state
+
+
+class MetaTrainer(TransientTrainer):
+    """Standard MAML (trainer/asr/meta_trainer.py): per-task query batches."""
+
+    per_task_query = True
+
+
+class JointTrainer(TrainerBase):
+    """Iteration-based multi-task trainer (trainer/asr/joint_trainer.py),
+    optional adversarial/multitask discriminator heads. Also the finetune
+    path (finetune.py:199-200)."""
+
+    def train(
+        self,
+        train_dataset: SpectrogramDataset,
+        valid_sets: Sequence[SpectrogramDataset],
+        start_it: int = 0,
+        num_it: int = 1000,
+        state: Optional[TrainState] = None,
+        last_metrics: Optional[dict] = None,
+        discriminator=None,
+    ) -> TrainState:
+        cfg = self.cfg
+        opt = make_joint_optimizer(cfg)
+        use_disc = discriminator is not None
+        if use_disc:
+            from .steps_disc import make_joint_step_disc
+
+            step_fn = make_joint_step_disc(self.model, discriminator, cfg, opt)
+        else:
+            step_fn = make_joint_step(self.model, cfg, opt)
+
+        num_tasks = len(train_dataset.ids_list)
+
+        def fetch():
+            support, _ = train_dataset.sample_meta_batch(
+                cfg.train.k_train, 1, per_task_query=False
+            )
+            return support
+
+        prefetch = Prefetcher(fetch)
+        rng = jax.random.PRNGKey(cfg.train.seed)
+        if state is None:
+            support = fetch()
+            ex = jax.tree.map(lambda x: x[0], support)
+            state = init_train_state(self.model, cfg, opt,
+                                     jax.random.PRNGKey(cfg.train.seed), ex)
+            if use_disc:
+                from .steps_disc import init_disc_state
+
+                state = init_disc_state(self.model, discriminator, cfg, state,
+                                        ex)
+
+        stopper = EarlyStopper(cfg.train.early_stop)
+        history: List[dict] = (last_metrics or {}).get("history", [])
+        window = 100
+        last_sum_loss, last_sum_cer, last_sum_char = (
+            deque(maxlen=window), deque(maxlen=window), deque(maxlen=window)
+        )
+        total_time = 0.0
+        beta = 1.0
+
+        it = start_it
+        while it < num_it:
+            support = prefetch.get()
+            t0 = time.time()
+            rng, sub = jax.random.split(rng)
+            if use_disc:
+                if cfg.train.beta_decay:
+                    beta = beta * 0.99997  # joint_trainer.py:155-156,230-232
+                    cur_beta = beta
+                else:
+                    cur_beta = 0.5
+                state, loss, aux = step_fn(state, support, sub,
+                                           jnp.asarray(cur_beta))
+            else:
+                state, loss, aux = step_fn(state, support, sub)
+            cer, nchar = batch_cer(aux["hyp"], aux["gold"], self.vocab)
+            total_time += time.time() - t0
+            # reference logs the SUM of per-task losses / num_tasks
+            log_loss = float(loss)
+            last_sum_loss.append(log_loss)
+            last_sum_cer.append(cer)
+            last_sum_char.append(max(nchar, 1))
+            log_print(
+                "(Iteration {}) TRAIN LOSS:{:.4f} CER:{:.2f}% LR:{:.7f} "
+                "TOTAL TIME:{:.7f}".format(
+                    it + 1, log_loss, cer * 100.0 / max(nchar, 1),
+                    cfg.train.lr, total_time
+                )
+            )
+            if (it + 1) % 1000 == 0:
+                log_print(
+                    "(Summary Iteration {} | MA {}) TRAIN LOSS:{:.4f} "
+                    "CER:{:.2f}%".format(
+                        it + 1, window,
+                        sum(last_sum_loss) / len(last_sum_loss),
+                        sum(last_sum_cer) * 100.0 / max(sum(last_sum_char), 1),
+                    )
+                )
+            if (it + 1) % cfg.train.evaluate_every == 0:
+                eval_params = state.base.params if use_disc else state.params
+                avg_loss, avg_cer, vlosses, vcers = self.evaluate(
+                    eval_params, valid_sets, it
+                )
+                metrics = {
+                    "avg_valid_loss": avg_loss,
+                    "avg_valid_cer": avg_cer,
+                    "valid_loss": vlosses,
+                    "valid_cer": vcers,
+                    "history": history,
+                }
+                history.append(dict(metrics, history=None))
+                if (it + 1) % cfg.train.save_every == 0:
+                    save_checkpoint(cfg, self.vocab, state, it + 1, metrics)
+                if stopper.update(avg_loss, avg_cer):
+                    save_checkpoint(cfg, self.vocab, state, it + 1, metrics,
+                                    best_model=True)
+                else:
+                    log_print(f"count_stop: {stopper.count}")
+                if stopper.should_stop:
+                    log_print("EARLY STOP")
+                    break
+            it += 1
+        return state
+
+
+class EpochTrainer(TrainerBase):
+    """Classic epoch loop (trainer/asr/trainer.py) with the Noam schedule."""
+
+    def train(
+        self,
+        train_dataset: SpectrogramDataset,
+        valid_sets: Sequence[SpectrogramDataset],
+        start_epoch: int = 0,
+        num_epochs: int = 10,
+        state: Optional[TrainState] = None,
+    ) -> TrainState:
+        cfg = self.cfg
+        from .optim import make_epoch_optimizer
+
+        opt = make_epoch_optimizer(cfg)
+        step_fn = make_joint_step(self.model, cfg, opt)
+        rng = jax.random.PRNGKey(cfg.train.seed)
+        stopper = EarlyStopper(cfg.train.early_stop)
+
+        if state is None:
+            ex = next(train_dataset.iter_batches(cfg.data.batch_size))
+            state = init_train_state(self.model, cfg, opt,
+                                     jax.random.PRNGKey(cfg.train.seed), ex)
+
+        for epoch in range(start_epoch, num_epochs):
+            total_loss, total_cer, total_char, n = 0.0, 0, 0, 0
+            for batch in train_dataset.iter_batches(cfg.data.batch_size):
+                rng, sub = jax.random.split(rng)
+                batches = jax.tree.map(lambda x: x[None], batch)
+                state, loss, aux = step_fn(state, batches, sub)
+                cer, nchar = batch_cer(aux["hyp"], aux["gold"], self.vocab)
+                total_loss += float(loss)
+                total_cer += cer
+                total_char += max(nchar, 1)
+                n += 1
+            log_print(
+                "(Epoch {}) TRAIN LOSS:{:.4f} CER:{:.2f}%".format(
+                    epoch, total_loss / max(n, 1),
+                    total_cer * 100.0 / max(total_char, 1),
+                )
+            )
+            avg_loss, avg_cer, _, _ = self.evaluate(state.params, valid_sets,
+                                                    epoch)
+            if stopper.update(avg_loss, avg_cer):
+                save_checkpoint(cfg, self.vocab, state, epoch, best_model=True)
+            if stopper.should_stop:
+                log_print("EARLY STOP")
+                break
+        return state

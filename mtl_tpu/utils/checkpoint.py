@@ -1,0 +1,71 @@
+"""Checkpoint save / load (orbax + JSON sidecars).
+
+Logical-content parity with the reference's torch.save dicts
+(utils/functions.py:43-156): {vocab, args(config), epoch/step,
+model params, optimizer state(s), metrics history}, written either as
+``epoch_{N}.th``-style step directories or ``best_model`` — and resume
+rebuilds the model from the config stored INSIDE the checkpoint
+(load_meta_model, utils/functions.py:158-188), which we preserve.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from ..config import Config
+from ..data.vocab import Vocab
+
+
+def _ckpt_dir(cfg: Config, tag: str) -> str:
+    return os.path.abspath(os.path.join(cfg.save_folder, cfg.name, tag))
+
+
+def save_checkpoint(
+    cfg: Config,
+    vocab: Vocab,
+    state,
+    step: int,
+    metrics: Optional[dict] = None,
+    best_model: bool = False,
+    extra: Optional[Dict[str, Any]] = None,
+) -> str:
+    """save_meta_model / save_joint_model / save_model parity."""
+    tag = "best_model" if best_model else f"step_{step}"
+    path = _ckpt_dir(cfg, tag)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.join(path, "state"), state, force=True)
+    meta = {
+        "config": json.loads(cfg.to_json()),
+        "vocab": vocab.to_dict(),
+        "step": int(step),
+        "metrics": metrics or {},
+    }
+    if extra:
+        meta.update(extra)
+    with open(os.path.join(path, "meta.json"), "w", encoding="utf-8") as f:
+        json.dump(meta, f, ensure_ascii=False)
+    return path
+
+
+def load_checkpoint(
+    path: str, target=None
+) -> Tuple[Config, Vocab, Any, int, dict]:
+    """Returns (config, vocab, state, step, metrics). The model must be
+    rebuilt from the returned config (reference resume semantics)."""
+    path = os.path.abspath(path)
+    with open(os.path.join(path, "meta.json"), encoding="utf-8") as f:
+        meta = json.load(f)
+    cfg = Config.from_dict(meta["config"])
+    vocab = Vocab.from_dict(meta["vocab"])
+    ckptr = ocp.PyTreeCheckpointer()
+    if target is not None:
+        state = ckptr.restore(os.path.join(path, "state"), item=target)
+    else:
+        state = ckptr.restore(os.path.join(path, "state"))
+    return cfg, vocab, state, meta["step"], meta.get("metrics", {})

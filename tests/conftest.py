@@ -1,0 +1,27 @@
+"""Test configuration: force an 8-virtual-device CPU platform BEFORE jax
+imports, so multi-chip sharding tests run anywhere (the TPU-world equivalent
+of testing multi-node without a cluster — SURVEY.md §4)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+import pytest  # noqa: E402
+
+# Persistent compilation cache makes repeated test runs fast.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    import jax
+
+    return jax.random.PRNGKey(0)

@@ -1,0 +1,167 @@
+"""End-to-end slice: synthetic corpus -> data pipeline -> fused front-end ->
+meta-transfer / joint training -> decode -> CER. (SURVEY.md §7 minimum slice.)
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mtl_tpu.config import Config
+from mtl_tpu.data.dataset import SpectrogramDataset
+from mtl_tpu.data.synthetic import make_synthetic_corpus
+from mtl_tpu.data.vocab import Vocab
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("corpus"))
+    manifests, labels = make_synthetic_corpus(
+        root, num_tasks=3, utts_per_task=6, max_sec=0.5, max_chars=6
+    )
+    return manifests, labels
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg(corpus):
+    manifests, labels = corpus
+    cfg = Config()
+    cfg.data.train_manifest_list = manifests
+    cfg.data.valid_manifest_list = [manifests[-1]]
+    cfg.data.labels_path = labels
+    cfg.data.src_bucket_frames = (64,)
+    cfg.data.tgt_bucket_len = (16,)
+    cfg.model.num_enc_layers = 1
+    cfg.model.num_dec_layers = 1
+    cfg.model.num_heads = 2
+    cfg.model.dim_model = 16
+    cfg.model.dim_key = 8
+    cfg.model.dim_value = 8
+    cfg.model.dim_inner = 16
+    cfg.model.dim_emb = 16
+    cfg.model.dropout = 0.0
+    cfg.model.r = 4
+    cfg.model.dtype = "float32"
+    cfg.model.src_max_len = 64
+    cfg.model.tgt_max_len = 32
+    cfg.train.k_train = 2
+    cfg.train.k_valid = 2
+    cfg.train.lr = 1e-2
+    cfg.train.meta_lr = 1e-3
+    cfg.finalize()
+    return cfg
+
+
+def test_dataset_shapes(tiny_cfg):
+    vocab = Vocab.from_json(tiny_cfg.data.labels_path)
+    ds = SpectrogramDataset(vocab, tiny_cfg, tiny_cfg.data.train_manifest_list,
+                            is_train=True)
+    support, query = ds.sample_meta_batch(2, 2)
+    assert support["audio"].shape[0] == 3  # tasks
+    assert support["audio"].shape[1] == 2  # k_train
+    assert support["targets"].shape[-1] == 16
+    # prepadded audio: bucket samples + n_fft
+    n_fft = tiny_cfg.audio.n_fft
+    hop = tiny_cfg.audio.hop_length
+    assert support["audio"].shape[-1] == (64 - 1) * hop + n_fft
+    assert query["audio"].shape[0] == 2  # k_valid, from LAST manifest
+
+
+def test_meta_transfer_e2e_loss_decreases(tiny_cfg):
+    import optax
+
+    from mtl_tpu.models.transformer import build_model
+    from mtl_tpu.train.steps import init_train_state, make_meta_step
+
+    vocab = Vocab.from_json(tiny_cfg.data.labels_path)
+    ds = SpectrogramDataset(vocab, tiny_cfg, tiny_cfg.data.train_manifest_list,
+                            is_train=True, seed=0)
+    model = build_model(tiny_cfg, len(vocab))
+    outer_opt = optax.adam(tiny_cfg.train.meta_lr)
+    step = make_meta_step(model, tiny_cfg, outer_opt)
+
+    support, query = ds.sample_meta_batch(2, 2)
+    ex = jax.tree.map(lambda x: jnp.asarray(x[0]), support)
+    state = init_train_state(model, tiny_cfg, outer_opt, jax.random.PRNGKey(0),
+                             ex)
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(8):
+        rng, sub = jax.random.split(rng)
+        # reuse the same batch -> loss must drop fast if grads are sane
+        state, m = step(state, support, query, sub)
+        losses.append(float(m["outer_loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
+def test_joint_e2e_and_greedy_decode(tiny_cfg):
+    import optax
+
+    from mtl_tpu.decode.greedy import greedy_search
+    from mtl_tpu.models.transformer import build_model
+    from mtl_tpu.train.steps import (
+        init_train_state,
+        make_joint_step,
+        prepare_features,
+    )
+
+    vocab = Vocab.from_json(tiny_cfg.data.labels_path)
+    ds = SpectrogramDataset(vocab, tiny_cfg, tiny_cfg.data.train_manifest_list,
+                            is_train=True, seed=0)
+    model = build_model(tiny_cfg, len(vocab))
+    opt = optax.adam(1e-3)
+    step = make_joint_step(model, tiny_cfg, opt)
+    support, _ = ds.sample_meta_batch(2, 1)
+    state = init_train_state(
+        model, tiny_cfg, opt, jax.random.PRNGKey(0),
+        jax.tree.map(lambda x: jnp.asarray(x[0]), support),
+    )
+    rng = jax.random.PRNGKey(1)
+    l0 = l1 = None
+    for i in range(8):
+        rng, sub = jax.random.split(rng)
+        state, loss, aux = step(state, support, sub)
+        l1 = float(loss)
+        if l0 is None:
+            l0 = l1
+    assert l1 < l0
+
+    batch = jax.tree.map(lambda x: jnp.asarray(x[0]), support)
+    feats, lengths = prepare_features(batch, tiny_cfg)
+    hyps = greedy_search(model, state.params, feats, lengths, vocab,
+                         max_steps=8, start_token=vocab.SOS_ID)
+    assert len(hyps) == 2
+    assert all(isinstance(h, str) for h in hyps)
+
+
+def test_checkpoint_roundtrip(tiny_cfg, tmp_path):
+    import optax
+
+    from mtl_tpu.models.transformer import build_model
+    from mtl_tpu.train.steps import init_train_state
+    from mtl_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg = tiny_cfg
+    cfg.save_folder = str(tmp_path)
+    vocab = Vocab.from_json(cfg.data.labels_path)
+    ds = SpectrogramDataset(vocab, cfg, cfg.data.train_manifest_list,
+                            is_train=True)
+    support, _ = ds.sample_meta_batch(2, 1)
+    model = build_model(cfg, len(vocab))
+    opt = optax.adam(1e-3)
+    state = init_train_state(
+        model, cfg, opt, jax.random.PRNGKey(0),
+        jax.tree.map(lambda x: jnp.asarray(x[0]), support),
+    )
+    path = save_checkpoint(cfg, vocab, state, 7, {"avg_valid_cer": 12.5})
+    cfg2, vocab2, state2, step2, metrics2 = load_checkpoint(path)
+    assert step2 == 7
+    assert metrics2["avg_valid_cer"] == 12.5
+    assert len(vocab2) == len(vocab)
+    assert cfg2.model.dim_model == cfg.model.dim_model
+    p1 = jax.tree.leaves(state.params)
+    p2 = jax.tree.leaves(state2["params"])
+    assert all(np.allclose(a, b) for a, b in zip(p1, p2))

@@ -1,0 +1,173 @@
+"""Gradient-correctness and training-dynamics tests for the jitted steps."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from mtl_tpu.config import Config
+from mtl_tpu.models.transformer import ASRTransformer
+from mtl_tpu.train.steps import (
+    TrainState,
+    init_train_state,
+    make_eval_step,
+    make_forward_fn,
+    make_joint_step,
+    make_meta_step,
+)
+
+
+def tiny_cfg(**train_kw):
+    cfg = Config()
+    cfg.model.num_enc_layers = 1
+    cfg.model.num_dec_layers = 1
+    cfg.model.num_heads = 2
+    cfg.model.dim_model = 16
+    cfg.model.dim_key = 8
+    cfg.model.dim_value = 8
+    cfg.model.dim_inner = 16
+    cfg.model.dim_emb = 16
+    cfg.model.dropout = 0.0
+    cfg.model.r = 4
+    cfg.model.dtype = "float32"
+    cfg.model.src_max_len = 64
+    cfg.model.tgt_max_len = 32
+    for k, v in train_kw.items():
+        setattr(cfg.train, k, v)
+    return cfg
+
+
+def tiny_model(cfg, vocab_size=20):
+    return ASRTransformer(
+        vocab_size=vocab_size, feat_extractor="vgg_cnn",
+        num_enc_layers=1, num_dec_layers=1, num_heads=2, dim_model=16,
+        dim_key=8, dim_value=8, dim_input=(12 // 4) * 128, dim_inner=16,
+        dim_emb=16, dropout=0.0, src_max_length=64, trg_max_length=32,
+        r=4, dtype=jnp.float32,
+    )
+
+
+def feature_batch(key, b=2, t=16, f=12, l=6, vocab=20):
+    k1, k2 = jax.random.split(key)
+    feats = jax.random.normal(k1, (b, t, f)) * 0.3
+    targets = jax.random.randint(k2, (b, l), 4, vocab)
+    # make lengths ragged: row 1 shorter
+    targets = targets.at[1, l - 2:].set(0)
+    return {
+        "features": feats,
+        "input_lengths": jnp.array([t] * b),
+        "targets": targets,
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_cfg()
+    model = tiny_model(cfg)
+    batch = feature_batch(jax.random.PRNGKey(0))
+    opt = optax.adam(1e-3)
+    state = init_train_state(model, cfg, opt, jax.random.PRNGKey(1), batch)
+    return cfg, model, batch, opt, state
+
+
+def test_joint_step_decreases_loss(setup):
+    cfg, model, batch, opt, state = setup
+    step = make_joint_step(model, cfg, opt)
+    batches = jax.tree.map(lambda x: x[None], batch)  # K=1
+    rng = jax.random.PRNGKey(2)
+    losses = []
+    for i in range(30):
+        rng, sub = jax.random.split(rng)
+        state, loss, _ = step(state, batches, sub)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.7, losses[::10]
+
+
+def test_first_order_meta_grad_is_query_grad_at_adapted(setup):
+    """copy-grad parity: outer grad == dL_q/dθ' at θ' = θ - lr*dL_s/dθ."""
+    cfg, model, batch, opt, state = setup
+    cfg = tiny_cfg(lr=0.01, second_order=False, clip=False)
+    forward = make_forward_fn(model, cfg)
+    support = feature_batch(jax.random.PRNGKey(3))
+    query = feature_batch(jax.random.PRNGKey(4))
+    params = state.params
+
+    # manual first-order computation
+    g_inner = jax.grad(lambda p: forward(p, support, None, True)[0])(params)
+    adapted = jax.tree.map(lambda w, g: w - 0.01 * g, params, g_inner)
+    expected = jax.grad(lambda p: forward(p, query, None, True)[0])(adapted)
+
+    # what the meta step computes (deterministic forward => rng irrelevant,
+    # dropout=0 in the tiny model)
+    def task_outer(p):
+        g = jax.lax.stop_gradient(
+            jax.grad(lambda q: forward(q, support, None, False)[0])(p)
+        )
+        a = jax.tree.map(lambda w, gw: w - 0.01 * gw, p, g)
+        return forward(a, query, None, False)[0]
+
+    got = jax.grad(task_outer)(params)
+    for e, g in zip(jax.tree.leaves(expected), jax.tree.leaves(got)):
+        np.testing.assert_allclose(np.asarray(e), np.asarray(g),
+                                   atol=1e-5, rtol=1e-3)
+
+
+def test_second_order_meta_grad_finite_difference(setup):
+    """grad-through-inner-SGD vs central finite differences on a few coords."""
+    cfg, model, batch, opt, state = setup
+    cfg2 = tiny_cfg(lr=0.05, second_order=True, clip=False)
+    forward = make_forward_fn(model, cfg2)
+    support = feature_batch(jax.random.PRNGKey(5))
+    query = feature_batch(jax.random.PRNGKey(6))
+    params = state.params
+
+    def outer(p):
+        g = jax.grad(lambda q: forward(q, support, None, True)[0])(p)
+        a = jax.tree.map(lambda w, gw: w - 0.05 * gw, p, g)
+        return forward(a, query, None, True)[0]
+
+    g = jax.grad(outer)(params)
+    flat, unravel = jax.flatten_util.ravel_pytree(params)
+    gflat, _ = jax.flatten_util.ravel_pytree(g)
+    outer_flat = lambda v: outer(unravel(v))
+    eps = 1e-3
+    rng = np.random.RandomState(0)
+    idxs = rng.choice(flat.shape[0], 5, replace=False)
+    for i in idxs:
+        e = jnp.zeros_like(flat).at[i].set(eps)
+        fd = (outer_flat(flat + e) - outer_flat(flat - e)) / (2 * eps)
+        np.testing.assert_allclose(float(fd), float(gflat[i]),
+                                   atol=5e-3, rtol=5e-2)
+
+
+def test_meta_step_runs_and_improves_query_loss(setup):
+    cfg, model, batch, opt, state = setup
+    cfg3 = tiny_cfg(lr=0.01, meta_lr=1e-3, second_order=False)
+    outer_opt = optax.adam(cfg3.train.meta_lr)
+    step = make_meta_step(model, cfg3, outer_opt)
+    state3 = init_train_state(model, cfg3, outer_opt, jax.random.PRNGKey(1),
+                              batch)
+    support = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        feature_batch(jax.random.PRNGKey(7)),
+        feature_batch(jax.random.PRNGKey(8)),
+    )  # K=2 tasks
+    query = feature_batch(jax.random.PRNGKey(9))
+    rng = jax.random.PRNGKey(10)
+    first = None
+    for i in range(30):
+        rng, sub = jax.random.split(rng)
+        state3, metrics = step(state3, support, query, sub)
+        if first is None:
+            first = float(metrics["outer_loss"])
+    assert metrics["support_hyp"].shape[0] == 2
+    assert float(metrics["outer_loss"]) < first * 0.8
+
+
+def test_eval_step(setup):
+    cfg, model, batch, opt, state = setup
+    ev = make_eval_step(model, cfg)
+    loss, aux = ev(state.params, batch)
+    assert jnp.isfinite(loss)
+    assert aux["hyp"].shape == aux["gold"].shape
