@@ -1,0 +1,359 @@
+"""LM CLI entry implementations.
+
+Parity with the reference lm/ entry points (lm/main.py, lm/main_joint.py,
+lm/main_meta_transfer.py, lm/finetune.py, lm/test.py, lm/convert.py) and
+their flags (--model/--emsize/--nhid/--nlayers/--lr/--clip/--epochs/
+--batch_size/--bptt/--dropout/--tied/--ratio/--meta_lr_factor/--seed/--save).
+Where the reference hardcodes the CV/HKUST/SEAME corpus paths
+(lm/main_meta_transfer.py:118-140), these take ``--train-path-list`` etc.;
+the last listed corpus is the code-switched target. The shared growing
+dictionary is chained across corpora in listed order.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from ..lm.data import Corpus, LMDataset, batchify, get_batch
+from ..lm.fusion import save_lm_fusion
+from ..lm.model import RNNLM
+from ..lm.train import (
+    evaluate_lm,
+    evaluate_lm_test,
+    joint_ratios,
+    make_lm_joint_step,
+    make_lm_meta_step,
+    make_lm_sgd_step,
+)
+from ..utils.logger import log_print, setup_logging
+
+
+def lm_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--name", type=str, default="")
+    p.add_argument("--train_path", type=str, default=None)
+    p.add_argument("--valid_path", type=str, default=None)
+    p.add_argument("--test_path", type=str, default=None)
+    p.add_argument("--train-path-list", nargs="+", type=str, default=None)
+    p.add_argument("--valid-path-list", nargs="+", type=str, default=None)
+    p.add_argument("--test-path-list", nargs="+", type=str, default=None)
+    p.add_argument("--model", type=str, default="LSTM")
+    p.add_argument("--emsize", type=int, default=200)
+    p.add_argument("--nhid", type=int, default=200)
+    p.add_argument("--nlayers", type=int, default=2)
+    p.add_argument("--lr", type=float, default=20)
+    p.add_argument("--meta_lr_factor", type=float, default=3)
+    p.add_argument("--clip", type=float, default=0.25)
+    p.add_argument("--epochs", type=int, default=40)
+    p.add_argument("--batch_size", type=int, default=20)
+    p.add_argument("--bptt", type=int, default=35)
+    p.add_argument("--dropout", type=float, default=0.2)
+    p.add_argument("--ratio", type=float, default=0.8)
+    p.add_argument("--tied", action="store_true")
+    p.add_argument("--pad", action="store_true")
+    p.add_argument("--seed", type=int, default=1111)
+    p.add_argument("--cuda", action="store_true")
+    p.add_argument("--log_path", type=str, default="./log")
+    p.add_argument("--log-interval", type=int, default=200)
+    p.add_argument("--save", type=str, default="./model")
+    p.add_argument("--load", type=str, default=None)
+    p.add_argument("--second-order", action="store_true")
+    return p
+
+
+def _log_name(args, extra: str = "") -> str:
+    return (f"{args.name}_model{args.model}_bptt{args.bptt}_lr{args.lr}"
+            f"_drop{args.dropout}_layers{args.nlayers}_nhid{args.nhid}"
+            f"_emsize{args.emsize}{extra}")
+
+
+def build_lm(args, ntokens: int) -> RNNLM:
+    return RNNLM(rnn_type=args.model, ntoken=ntokens, ninp=args.emsize,
+                 nhid=args.nhid, nlayers=args.nlayers, dropout=args.dropout,
+                 tie_weights=args.tied)
+
+
+def _arch_dict(args, ntokens: int) -> dict:
+    return {"rnn_type": args.model, "ntoken": ntokens, "ninp": args.emsize,
+            "nhid": args.nhid, "nlayers": args.nlayers,
+            "dropout": args.dropout, "tie_weights": args.tied}
+
+
+def save_lm_ckpt(path: str, params, dictionary, args, ntokens: int) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "meta.json"), "w", encoding="utf-8") as f:
+        json.dump({
+            "arch": _arch_dict(args, ntokens),
+            "word2idx": dictionary.word2idx,
+        }, f, ensure_ascii=False)
+    with open(os.path.join(path, "params.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(params))
+
+
+def load_lm_ckpt(path: str):
+    with open(os.path.join(path, "meta.json"), encoding="utf-8") as f:
+        meta = json.load(f)
+    arch = meta["arch"]
+    model = RNNLM(rnn_type=arch["rnn_type"], ntoken=arch["ntoken"],
+                  ninp=arch["ninp"], nhid=arch["nhid"],
+                  nlayers=arch["nlayers"], dropout=arch["dropout"],
+                  tie_weights=arch["tie_weights"])
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 1), jnp.int32))
+    with open(os.path.join(path, "params.msgpack"), "rb") as f:
+        params = serialization.from_bytes(params, f.read())
+    return model, params, meta["word2idx"], arch
+
+
+def _train_epochs(model, params, train_data, val_data, args, save_path):
+    """Plain epoch loop with lr/4 anneal + patience 5 (lm/main.py:292-321)."""
+    step = make_lm_sgd_step(model, args.clip)
+    rng = jax.random.PRNGKey(args.seed)
+    lr = args.lr
+    best_val, counter = None, 0
+    best_params = params
+    for epoch in range(1, args.epochs + 1):
+        t0 = time.time()
+        i, total_loss, nb = 0, 0.0, 0
+        while i < len(train_data) - 1:
+            data, target = get_batch(train_data, i, args.bptt)
+            if data.shape[0] < args.bptt:
+                break  # reference trains on full windows; tail skipped
+            rng, sub = jax.random.split(rng)
+            params, loss = step(params, data, target, lr, sub)
+            total_loss += float(loss)
+            nb += 1
+            i += args.bptt
+        val_loss = evaluate_lm(model, params, val_data,
+                               args.bptt) if val_data is not None else 0.0
+        log_print(
+            "| end of epoch {:3d} | time: {:5.2f}s | train loss {:5.2f} | "
+            "valid loss {:5.2f} | valid ppl {:8.2f}".format(
+                epoch, time.time() - t0, total_loss / max(nb, 1), val_loss,
+                math.exp(min(val_loss, 30)),
+            )
+        )
+        if best_val is None or val_loss < best_val:
+            best_val, counter = val_loss, 0
+            best_params = params
+        else:
+            lr /= 4.0
+            counter += 1
+        if counter == 5:
+            break
+    return best_params, best_val
+
+
+def main_main(argv=None):
+    """lm/main.py: plain LM train/valid/test."""
+    args = lm_parser("RNN/LSTM LM (TPU)").parse_args(argv)
+    setup_logging("lm_" + _log_name(args))
+    corpus = Corpus(args.train_path, args.valid_path, args.test_path,
+                    None, args.seed)
+    ntokens = len(corpus.dictionary)
+    train_data = batchify(corpus.train, args.batch_size)
+    model = build_lm(args, ntokens)
+    params = model.init(jax.random.PRNGKey(args.seed),
+                        jnp.zeros((2, 1), jnp.int32))
+    best_params, best_val = _train_epochs(model, params, train_data,
+                                          corpus.valid, args, args.save)
+    save_path = os.path.join(args.save, _log_name(args))
+    save_lm_ckpt(save_path, best_params, corpus.dictionary, args, ntokens)
+    if corpus.test is not None:
+        idx2word = {v: k for k, v in corpus.dictionary.word2idx.items()}
+        res = evaluate_lm_test(model, best_params, corpus.test, idx2word,
+                               args.bptt)
+        log_print("| End of training | test loss {:5.2f} | test ppl {:8.2f}"
+                  .format(res["loss"], res["ppl"]))
+    log_print(f"SAVED {save_path}")
+    return save_path
+
+
+def _load_chained_corpora(args):
+    """Chained dictionary across listed corpora; last = code-switched target
+    (lm/main_meta_transfer.py:131-140 order semantics)."""
+    train_list = args.train_path_list or [args.train_path]
+    valid_list = args.valid_path_list or ([args.valid_path]
+                                          if args.valid_path else [])
+    test_list = args.test_path_list or ([args.test_path]
+                                        if args.test_path else [])
+    corpora: List[Corpus] = []
+    dictionary = None
+    for i, tr in enumerate(train_list):
+        c = Corpus(
+            tr,
+            valid_list[i] if i < len(valid_list) else None,
+            test_list[i] if i < len(test_list) else None,
+            dictionary, args.seed,
+        )
+        dictionary = c.dictionary
+        corpora.append(c)
+    return corpora, dictionary
+
+
+def main_joint_main(argv=None):
+    """lm/main_joint.py: ratio-weighted multi-corpus training."""
+    args = lm_parser("Joint LM (TPU)").parse_args(argv)
+    setup_logging("lm_joint_" + _log_name(args, f"_ratio{args.ratio}"))
+    corpora, dictionary = _load_chained_corpora(args)
+    ntokens = len(dictionary)
+    ds = LMDataset([c.train for c in corpora], args.bptt, args.batch_size)
+    model = build_lm(args, ntokens)
+    params = model.init(jax.random.PRNGKey(args.seed),
+                        jnp.zeros((2, 1), jnp.int32))
+    ratios = joint_ratios(len(corpora), args.ratio)
+    step = make_lm_joint_step(model, args.clip, ratios)
+    target_valid = next(
+        (c.valid for c in reversed(corpora) if c.valid is not None), None
+    )
+
+    rng = jax.random.PRNGKey(args.seed)
+    lr = args.lr
+    best_val, counter, best_params = None, 0, params
+    num_it = args.epochs * 100
+    eval_every = max(1, args.log_interval)
+    for it in range(num_it):
+        samples = [ds.sample(i, it) for i in range(len(corpora))]
+        datas = np.stack([s[0] for s in samples])
+        targets = np.stack([s[1] for s in samples])
+        rng, sub = jax.random.split(rng)
+        params, total, losses = step(params, datas, targets, lr, sub)
+        if (it + 1) % eval_every == 0:
+            if target_valid is not None:
+                val_loss = evaluate_lm(model, params, target_valid, args.bptt)
+            else:
+                val_loss = float(total)
+            log_print("| it {:5d} | lr {:02.2f} | loss {:5.2f} | valid loss "
+                      "{:5.2f} | valid ppl {:8.2f}".format(
+                          it + 1, lr, float(total), val_loss,
+                          math.exp(min(val_loss, 30))))
+            if best_val is None or val_loss < best_val:
+                best_val, counter, best_params = val_loss, 0, params
+            else:
+                lr /= 4.0
+                counter += 1
+            if counter == 5:
+                break
+    save_path = os.path.join(args.save,
+                             "joint_" + _log_name(args, f"_ratio{args.ratio}"))
+    save_lm_ckpt(save_path, best_params, dictionary, args, ntokens)
+    log_print(f"SAVED {save_path}")
+    return save_path
+
+
+def main_meta_transfer_main(argv=None):
+    """lm/main_meta_transfer.py: meta-transfer for the LM."""
+    args = lm_parser("Meta-transfer LM (TPU)").parse_args(argv)
+    setup_logging("lm_meta_" + _log_name(
+        args, f"_meta_lr_factor{args.meta_lr_factor}_ratio{args.ratio}"))
+    corpora, dictionary = _load_chained_corpora(args)
+    ntokens = len(dictionary)
+    ds = LMDataset([c.train for c in corpora], args.bptt, args.batch_size)
+    model = build_lm(args, ntokens)
+    params = model.init(jax.random.PRNGKey(args.seed),
+                        jnp.zeros((2, 1), jnp.int32))
+    ratios = joint_ratios(len(corpora), args.ratio)
+    step = make_lm_meta_step(model, args.clip, ratios, args.meta_lr_factor,
+                             second_order=args.second_order)
+    target_valid = next(
+        (c.valid for c in reversed(corpora) if c.valid is not None), None
+    )
+
+    rng = jax.random.PRNGKey(args.seed)
+    lr = args.lr
+    best_val, counter, best_params = None, 0, params
+    num_it = args.epochs * 100
+    for it in range(num_it):
+        # query = the LAST task's window (lm/main_meta_transfer.py:302)
+        _, _, q_data, q_target = ds.sample(-1, it)
+        samples = [ds.sample(i, it) for i in range(len(corpora))]
+        datas = np.stack([s[0] for s in samples])
+        targets = np.stack([s[1] for s in samples])
+        rng, sub = jax.random.split(rng)
+        params, total, q_losses = step(params, datas, targets, q_data,
+                                       q_target, lr, sub)
+        if (it + 1) % max(1, args.log_interval) == 0:
+            if target_valid is not None:
+                val_loss = evaluate_lm(model, params, target_valid, args.bptt)
+            else:
+                val_loss = float(total)
+            log_print("| it {:5d} | lr {:02.2f} | meta loss {:5.2f} | valid "
+                      "loss {:5.2f} | valid ppl {:8.2f}".format(
+                          it + 1, lr, float(total), val_loss,
+                          math.exp(min(val_loss, 30))))
+            if best_val is None or val_loss < best_val:
+                best_val, counter, best_params = val_loss, 0, params
+            else:
+                lr /= 4.0  # anneal on plateau (lm/main_meta_transfer.py:398-408)
+                counter += 1
+            if counter == 5:
+                break
+    save_path = os.path.join(
+        args.save, "meta_" + _log_name(
+            args, f"_meta_lr_factor{args.meta_lr_factor}_ratio{args.ratio}"))
+    save_lm_ckpt(save_path, best_params, dictionary, args, ntokens)
+    log_print(f"SAVED {save_path}")
+    return save_path
+
+
+def finetune_main(argv=None):
+    """lm/finetune.py: load a saved LM, fine-tune on the target corpus."""
+    args = lm_parser("Finetune LM (TPU)").parse_args(argv)
+    assert args.load, "--load is required for finetune"
+    setup_logging("lm_finetune_" + _log_name(args))
+    model, params, word2idx, arch = load_lm_ckpt(args.load)
+    from ..lm.data import Dictionary
+
+    dictionary = Dictionary()
+    for w, i in sorted(word2idx.items(), key=lambda kv: kv[1]):
+        dictionary.add_word(w)
+    corpus = Corpus(args.train_path, args.valid_path, args.test_path,
+                    dictionary, args.seed)
+    train_data = batchify(corpus.train, args.batch_size)
+    best_params, best_val = _train_epochs(model, params, train_data,
+                                          corpus.valid, args, args.save)
+    save_path = os.path.join(args.save, "finetune_" + _log_name(args))
+    save_lm_ckpt(save_path, best_params, dictionary, args,
+                 arch["ntoken"])
+    log_print(f"SAVED {save_path}")
+    return save_path
+
+
+def test_main(argv=None):
+    """lm/test.py: perplexity + code-switch transition breakdown."""
+    args = lm_parser("Test LM (TPU)").parse_args(argv)
+    assert args.load, "--load is required for test"
+    setup_logging("lm_test_" + _log_name(args))
+    model, params, word2idx, arch = load_lm_ckpt(args.load)
+    from ..lm.data import Dictionary
+
+    dictionary = Dictionary()
+    for w, i in sorted(word2idx.items(), key=lambda kv: kv[1]):
+        dictionary.add_word(w)
+    corpus = Corpus(args.test_path or args.train_path, None, None,
+                    dictionary, args.seed)
+    idx2word = {v: k for k, v in word2idx.items()}
+    res = evaluate_lm_test(model, params, corpus.train, idx2word, args.bptt)
+    log_print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
+                          for k, v in res.items()}, ensure_ascii=False))
+    return res
+
+
+def convert_main(argv=None):
+    """lm/convert.py: re-save a trained LM in the fusion-scorer format."""
+    args = lm_parser("Convert LM (TPU)").parse_args(argv)
+    assert args.load, "--load is required for convert"
+    model, params, word2idx, arch = load_lm_ckpt(args.load)
+    out = args.save
+    save_lm_fusion(out, params, word2idx, arch)
+    print(f"CONVERTED -> {out}")
+    return out

@@ -1,0 +1,164 @@
+"""LM stack tests: data, model, train steps, fusion scorer."""
+
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mtl_tpu.lm.data import Corpus, Dictionary, LMDataset, batchify, get_batch
+from mtl_tpu.lm.model import RNNLM
+from mtl_tpu.lm.train import (
+    evaluate_lm,
+    joint_ratios,
+    make_lm_loss,
+    make_lm_meta_step,
+    make_lm_sgd_step,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus_files(tmp_path_factory):
+    root = tmp_path_factory.mktemp("lmdata")
+    p1 = root / "train1.txt"
+    p1.write_text("the cat sat\nthe dog ran\nthe cat ran far\n")
+    p2 = root / "train2.txt"
+    p2.write_text("你 好 吗\n好 的 好 的\n")
+    return str(p1), str(p2)
+
+
+def test_corpus_tokenization(corpus_files):
+    p1, p2 = corpus_files
+    c1 = Corpus(p1)
+    # <oov> + the cat sat <eos> dog ran far
+    assert "<oov>" in c1.dictionary.word2idx
+    assert "<eos>" in c1.dictionary.word2idx
+    assert len(c1.train) == 4 + 4 + 5  # tokens + <eos> per line
+    assert c1.train_lang.sum() == 0  # no chinese
+    # chained dictionary grows
+    c2 = Corpus(p2, dictionary=c1.dictionary)
+    assert c2.dictionary is c1.dictionary
+    assert c2.train_lang.sum() > 0
+
+
+def test_batchify_and_windows():
+    data = np.arange(23, dtype=np.int32)
+    b = batchify(data, 4)  # 23//4=5 -> [5,4]
+    assert b.shape == (5, 4)
+    np.testing.assert_array_equal(b[:, 0], [0, 1, 2, 3, 4])
+    d, t = get_batch(b, 0, 3)
+    assert d.shape == (3, 4)
+    np.testing.assert_array_equal(t[:4], b[1].reshape(-1)[:4])
+
+
+def test_lmdataset_sample_deterministic():
+    data = np.arange(100, dtype=np.int32)
+    ds = LMDataset([data], bptt=5, batch_size=2)
+    a = ds.sample(0, 3)
+    b = ds.sample(0, 3)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    # manifest -1 == last task
+    c = ds.sample(-1, 3)
+    for x, y in zip(a, c):
+        np.testing.assert_array_equal(x, y)
+
+
+@pytest.fixture(scope="module")
+def tiny_lm():
+    model = RNNLM(rnn_type="LSTM", ntoken=30, ninp=8, nhid=8, nlayers=2,
+                  dropout=0.0)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 1), jnp.int32))
+    return model, params
+
+
+def test_lm_forward_shapes(tiny_lm):
+    model, params = tiny_lm
+    tokens = jnp.zeros((5, 3), jnp.int32)
+    logits, carry = model.apply(params, tokens)
+    assert logits.shape == (5, 3, 30)
+    assert len(carry) == 2
+
+
+def test_lm_tied_weights():
+    model = RNNLM(rnn_type="LSTM", ntoken=30, ninp=8, nhid=8, nlayers=1,
+                  dropout=0.0, tie_weights=True)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 1), jnp.int32))
+    logits, _ = model.apply(params, jnp.zeros((3, 2), jnp.int32))
+    assert logits.shape == (3, 2, 30)
+    # tied: no separate decoder kernel
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    names = ["/".join(str(k) for k in path) for path, _ in flat]
+    assert not any("decoder']" in n and "kernel" in n for n in names)
+
+
+def test_lm_sgd_training_decreases_loss(tiny_lm):
+    model, params = tiny_lm
+    rng = np.random.RandomState(0)
+    data = rng.randint(0, 30, size=(6, 4)).astype(np.int32)
+    target = rng.randint(0, 30, size=(24,)).astype(np.int32)
+    step = make_lm_sgd_step(model, clip=0.25)
+    loss_fn = make_lm_loss(model)
+    l0 = float(loss_fn(params, data, target))
+    key = jax.random.PRNGKey(0)
+    for i in range(30):
+        key, sub = jax.random.split(key)
+        params, loss = step(params, data, target, 1.0, sub)
+    assert float(loss) < l0
+
+
+def test_lm_meta_step_runs(tiny_lm):
+    model, params = tiny_lm
+    rng = np.random.RandomState(0)
+    datas = rng.randint(0, 30, size=(3, 6, 4)).astype(np.int32)
+    targets = rng.randint(0, 30, size=(3, 24)).astype(np.int32)
+    q_data = rng.randint(0, 30, size=(6, 4)).astype(np.int32)
+    q_target = rng.randint(0, 30, size=(24,)).astype(np.int32)
+    ratios = joint_ratios(3, 0.8)
+    assert ratios == [0.1, 0.1, 0.8][:3] or abs(sum(ratios) - 1) < 1e-9
+    step = make_lm_meta_step(model, 0.25, ratios, meta_lr_factor=3.0)
+    first = None
+    key = jax.random.PRNGKey(0)
+    for i in range(15):
+        key, sub = jax.random.split(key)
+        params, total, q_losses = step(params, datas, targets, q_data,
+                                       q_target, 2.0, sub)
+        if first is None:
+            first = float(total)
+    assert np.isfinite(float(total))
+    assert float(total) < first
+
+
+def test_evaluate_lm(tiny_lm):
+    model, params = tiny_lm
+    stream = np.arange(300, dtype=np.int32) % 30
+    loss = evaluate_lm(model, params, stream, bptt=7)
+    assert np.isfinite(loss) and loss > 0
+    # ~uniform model: loss near log(30)
+    assert abs(loss - math.log(30)) < 1.5
+
+
+def test_fusion_scorer_roundtrip(tiny_lm, tmp_path):
+    from mtl_tpu.data.vocab import Vocab
+    from mtl_tpu.lm.fusion import LMScorer, save_lm_fusion
+
+    model, params = tiny_lm
+    word2idx = {"<oov>": 0, "<eos>": 1, "the": 2, "cat": 3, "你": 4}
+    arch = {"rnn_type": "LSTM", "ntoken": 30, "ninp": 8, "nhid": 8,
+            "nlayers": 2, "dropout": 0.0, "tie_weights": False}
+    path = str(tmp_path / "lm_fused")
+    save_lm_fusion(path, params, word2idx, arch)
+    scorer = LMScorer.load(path)
+    score, oov = scorer.evaluate("the cat")
+    assert np.isfinite(score) and oov == 0
+    _, oov2 = scorer.evaluate("the zebra")
+    assert oov2 == 1
+
+    labels = ["<PAD>", "<SOS>", "<EOS>", "<OOV>", "t", "h", "e", " ", "你"]
+    vocab = Vocab.from_labels(labels)
+    ids = [vocab.SOS_ID] + vocab.encode_transcript("the 你") + [vocab.EOS_ID]
+    lm_score, num_words, oov3 = scorer.score_ids(ids, vocab)
+    assert num_words == 3  # "the" + "你" + 1
+    assert np.isfinite(lm_score)
