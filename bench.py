@@ -29,8 +29,9 @@ import time
 import numpy as np
 
 # Measured by bench_baseline_torch.py (same shapes, same per-iteration work,
-# torch 2.x CPU on this host; see BASELINE.md for provenance). utt/s.
-TORCH_CPU_BASELINE_UTT_PER_SEC = None  # filled after first measurement
+# torch CPU on this host, 2026-08: 83.27 s/iter; see BASELINE.md for
+# provenance — CPU-vs-TPU caveat applies). utt/s.
+TORCH_CPU_BASELINE_UTT_PER_SEC = 0.576
 
 K_TASKS = 3
 K_TRAIN = 8
@@ -80,13 +81,14 @@ def run_tpu_bench(num_iters=20, warmup=3):
     for i in range(warmup):
         rng, sub = jax.random.split(rng)
         state, m = step(state, support, query, sub)
-    jax.block_until_ready(m["outer_loss"])
+    float(m["outer_loss"])  # full sync (block_until_ready is unreliable
+    # through the axon remote-device tunnel)
 
     t0 = time.perf_counter()
     for i in range(num_iters):
         rng, sub = jax.random.split(rng)
         state, m = step(state, support, query, sub)
-    jax.block_until_ready(m["outer_loss"])
+    float(m["outer_loss"])  # value fetch forces the whole chain
     elapsed = time.perf_counter() - t0
 
     utts = K_TASKS * (K_TRAIN + K_VALID) * num_iters
