@@ -24,7 +24,7 @@ Numerical parity notes:
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -180,6 +180,141 @@ def normalize_per_utterance(
     sq = jnp.where(valid, (spect - mean) ** 2, 0.0)
     var = jnp.sum(sq, axis=(1, 2), keepdims=True) / jnp.maximum(n - 1.0, 1.0)
     return (spect - mean) * jax.lax.rsqrt(var + 1e-12) * valid
+
+
+# ---------------------------------------------------------------------------
+# Log-mel filterbank front-end (python_speech_features.logfbank parity —
+# the reference's LogFBankDataset alternative front-end,
+# utils/data_loader.py:145-155: logfbank(sig, rate, nfilt=80) with psf
+# defaults winlen=0.025, winstep=0.01, nfft=512, preemph=0.97, rectangular
+# window, power spectrum |rfft|^2/nfft, log with eps floor).
+# ---------------------------------------------------------------------------
+
+def hz_to_mel(f):
+    return 2595.0 * np.log10(1.0 + np.asarray(f, np.float64) / 700.0)
+
+
+def mel_to_hz(m):
+    return 700.0 * (10.0 ** (np.asarray(m, np.float64) / 2595.0) - 1.0)
+
+
+@functools.lru_cache(maxsize=4)
+def mel_filterbank(nfilt: int, nfft: int, sample_rate: int,
+                   lowfreq: float = 0.0,
+                   highfreq: Optional[float] = None) -> np.ndarray:
+    """[nfft//2+1, nfilt] triangular mel filters (psf get_filterbanks)."""
+    highfreq = highfreq or sample_rate / 2.0
+    mels = np.linspace(hz_to_mel(lowfreq), hz_to_mel(highfreq), nfilt + 2)
+    bins = np.floor((nfft + 1) * mel_to_hz(mels) / sample_rate).astype(int)
+    fbank = np.zeros((nfilt, nfft // 2 + 1), np.float64)
+    for j in range(nfilt):
+        for i in range(bins[j], bins[j + 1]):
+            fbank[j, i] = (i - bins[j]) / max(bins[j + 1] - bins[j], 1)
+        for i in range(bins[j + 1], bins[j + 2]):
+            fbank[j, i] = (bins[j + 2] - i) / max(bins[j + 2] - bins[j + 1], 1)
+    return fbank.T.astype(np.float32)  # [F, nfilt]
+
+
+def psf_num_frames(num_samples, winlen: int, hop: int):
+    """python_speech_features framesig frame count (no centering; final
+    partial frame zero-padded)."""
+    if isinstance(num_samples, (int, np.integer)):
+        if num_samples <= winlen:
+            return 1
+        return 1 + int(np.ceil((num_samples - winlen) / hop))
+    return jnp.where(
+        num_samples <= winlen,
+        1,
+        1 + jnp.ceil((num_samples - winlen) / hop).astype(jnp.int32),
+    )
+
+
+def log_fbank(
+    audio: jnp.ndarray,  # [B, S] raw (NOT prepadded) waveforms
+    audio_lengths: jnp.ndarray,  # [B]
+    sample_rate: int = 16000,
+    nfilt: int = 80,
+    winlen: float = 0.025,
+    winstep: float = 0.01,
+    nfft: int = 512,
+    preemph: float = 0.97,
+    normalize: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused preemphasis -> frame -> |DFT|^2/nfft -> mel -> log, batched on
+    device. Returns (features [B, T, nfilt], frame_lengths [B])."""
+    win = int(winlen * sample_rate)
+    hop = int(winstep * sample_rate)
+    b, s = audio.shape
+
+    x = jnp.concatenate(
+        [audio[:, :1], audio[:, 1:] - preemph * audio[:, :-1]], axis=1
+    )
+    # kill the preemphasis artifact at each utterance's zero-pad boundary
+    # (x[len] = -preemph * audio[len-1] would otherwise leak into the final
+    # frame; psf preemphasizes the unpadded signal)
+    x = jnp.where(jnp.arange(s)[None, :] < audio_lengths[:, None], x, 0.0)
+    n_t = psf_num_frames(s, win, hop)
+    # frame via hop-chunk concat (r chunks cover the window), slice to win
+    r = int(np.ceil(win / hop))
+    need = (n_t - 1 + r) * hop
+    if x.shape[1] < need:
+        x = jnp.pad(x, ((0, 0), (0, need - x.shape[1])))
+    chunks = x[:, :need].reshape(b, -1, hop)
+    frames = jnp.concatenate(
+        [chunks[:, i:i + n_t] for i in range(r)], axis=-1
+    )[:, :, :win]  # [B, T, win]
+
+    cos_b, nsin_b = dft_matrices_rect(nfft, win)
+    re = jnp.einsum("btn,nf->btf", frames, jnp.asarray(cos_b),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    im = jnp.einsum("btn,nf->btf", frames, jnp.asarray(nsin_b),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    power = (re * re + im * im) / nfft
+    fb = jnp.asarray(mel_filterbank(nfilt, nfft, sample_rate))
+    feat = jnp.einsum("btf,fm->btm", power, fb,
+                      preferred_element_type=jnp.float32)
+    feat = jnp.log(jnp.maximum(feat, np.finfo(np.float32).eps))
+
+    frame_lengths = jnp.minimum(
+        psf_num_frames(audio_lengths, win, hop), feat.shape[1]
+    )
+    if normalize:
+        feat = normalize_per_utterance(feat, frame_lengths)
+    valid = (jnp.arange(feat.shape[1])[None, :] < frame_lengths[:, None])[..., None]
+    return jnp.where(valid, feat, 0.0), frame_lengths
+
+
+@functools.lru_cache(maxsize=4)
+def dft_matrices_rect(nfft: int, win: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Rectangular-window DFT basis truncated to win rows (frames shorter
+    than nfft are zero-padded in psf — equivalent to dropping basis rows)."""
+    f = nfft // 2 + 1
+    n = np.arange(win, dtype=np.float64)[:, None]
+    k = np.arange(f, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * n * k / nfft
+    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
+
+
+def log_fbank_oracle(audio: np.ndarray, sample_rate: int = 16000,
+                     nfilt: int = 80, winlen: float = 0.025,
+                     winstep: float = 0.01, nfft: int = 512,
+                     preemph: float = 0.97) -> np.ndarray:
+    """Numpy oracle of python_speech_features.logfbank for tests."""
+    win = int(winlen * sample_rate)
+    hop = int(winstep * sample_rate)
+    x = np.append(audio[0], audio[1:] - preemph * audio[:-1])
+    n_t = psf_num_frames(len(x), win, hop)
+    pad_len = (n_t - 1) * hop + win
+    x = np.pad(x, (0, max(0, pad_len - len(x))))
+    frames = np.stack([x[i * hop:i * hop + win] for i in range(n_t)])
+    spec = np.abs(np.fft.rfft(frames, n=nfft, axis=-1)) ** 2 / nfft
+    fb = mel_filterbank(nfilt, nfft, sample_rate)
+    feat = spec @ fb
+    return np.log(np.maximum(feat, np.finfo(np.float32).eps)).astype(
+        np.float32
+    )
 
 
 def log_spectrogram_oracle(

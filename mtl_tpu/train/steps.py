@@ -62,6 +62,17 @@ def prepare_features(batch: Dict[str, jnp.ndarray], cfg: Config):
     precomputed features."""
     if "features" in batch:
         return batch["features"], batch["input_lengths"]
+    if cfg.audio.feat == "logfbank":
+        from ..ops.frontend import log_fbank
+
+        # collate_audio reflect-pads n_fft//2 per side for the STFT path;
+        # the psf logfbank front-end is uncentered -> slice the pad off.
+        pad = cfg.audio.n_fft // 2
+        raw = batch["audio"][:, pad:batch["audio"].shape[1] - pad]
+        return log_fbank(
+            raw, batch["audio_lengths"], sample_rate=cfg.audio.sample_rate,
+            nfilt=80, normalize=cfg.audio.normalize,
+        )
     feats, frame_lengths = log_spectrogram(
         batch["audio"], batch["audio_lengths"],
         n_fft=cfg.audio.n_fft, hop=cfg.audio.hop_length,

@@ -70,6 +70,33 @@ def test_log_spectrogram_matches_oracle():
     np.testing.assert_array_equal(np.asarray(feats[1, t2:]), 0.0)
 
 
+def test_log_fbank_matches_oracle():
+    from mtl_tpu.ops.frontend import log_fbank, log_fbank_oracle
+
+    sr = 16000
+    n1, n2 = 4000, 2560
+    a1, a2 = _tone(n1, f0=440), _tone(n2, f0=880, seed=1)
+    batch = np.zeros((2, n1), np.float32)
+    batch[0] = a1
+    batch[1, :n2] = a2
+    feats, fl = log_fbank(jnp.asarray(batch), jnp.array([n1, n2]), sr,
+                          nfilt=80, normalize=False)
+    o1 = log_fbank_oracle(a1, sr, 80)
+    o2 = log_fbank_oracle(a2, sr, 80)
+    assert feats.shape[-1] == 80
+    t1, t2 = int(fl[0]), int(fl[1])
+    assert t1 == o1.shape[0] and t2 == o2.shape[0]
+    # f32 device DFT cannot resolve near-zero mel bins the float64 oracle
+    # can (log amplifies ~1e-6 absolute power error); compare bins with
+    # meaningful energy (log-power > -10 == power > 5e-5)
+    for row, o in ((np.asarray(feats[0, :t1]), o1),
+                   (np.asarray(feats[1, :t2]), o2)):
+        mask = o > -10.0
+        assert mask.mean() > 0.5  # most bins carry energy in these tones
+        np.testing.assert_allclose(row[mask], o[mask], atol=2e-2)
+    np.testing.assert_array_equal(np.asarray(feats[1, t2:]), 0.0)
+
+
 def test_unnormalized_is_log1p_magnitude():
     sr, n_fft, hop = 16000, 320, 160
     a = _tone(1600)
