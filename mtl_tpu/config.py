@@ -36,6 +36,7 @@ class AudioConfig:
     noise_min: float = 0.0
     noise_max: float = 0.5
     feat: str = "spectrogram"  # spectrogram | logfbank
+    use_pallas: bool = False  # fused Pallas STFT kernel (TPU only)
 
     @property
     def n_fft(self) -> int:
@@ -320,6 +321,8 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--training-mode", default="meta", type=str)
     # TPU-native knobs
     p.add_argument("--dtype", default="bfloat16", type=str)
+    p.add_argument("--use-pallas", action="store_true",
+                   help="fused Pallas STFT front-end kernel (TPU only)")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--second-order", action="store_true")
     p.add_argument("--seed", default=123456, type=int)
@@ -355,6 +358,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             noise_min=args.noise_min,
             noise_max=args.noise_max,
             feat=args.feat,
+            use_pallas=args.use_pallas,
         ),
         model=ModelConfig(
             feat_extractor=args.feat_extractor,

@@ -43,8 +43,13 @@ def read_manifest(path: str) -> List[Tuple[str, str]]:
     return rows
 
 
-def parse_transcript(transcript_path: str, vocab: Vocab) -> List[int]:
-    """Reference parse_transcript (utils/data_loader.py:342-361)."""
+def parse_transcript(transcript_path: str, vocab: Vocab,
+                     input_type: str = "char") -> List[int]:
+    """Reference parse_transcript (utils/data_loader.py:342-361):
+    char: .txt file (leading space prepended, lowercased) or inline string;
+    ipa: pre-tokenized id arrays stored as .npy."""
+    if input_type == "ipa":
+        return [int(i) for i in np.load(transcript_path)]
     if transcript_path.endswith(".txt"):
         with open(transcript_path, encoding="utf8") as f:
             text = " " + f.read().replace("\n", "").lower()
@@ -192,7 +197,8 @@ class SpectrogramDataset:
         audio_path, transcript_path = ids[sample_id % len(ids)]
         return (
             self._load_wave(audio_path),
-            parse_transcript(transcript_path, self.vocab),
+            parse_transcript(transcript_path, self.vocab,
+                             self.cfg.data.input_type),
         )
 
     def __getitem__(self, index: int) -> Tuple[np.ndarray, List[int]]:

@@ -77,6 +77,7 @@ def prepare_features(batch: Dict[str, jnp.ndarray], cfg: Config):
         batch["audio"], batch["audio_lengths"],
         n_fft=cfg.audio.n_fft, hop=cfg.audio.hop_length,
         window=cfg.audio.window, normalize=cfg.audio.normalize,
+        use_pallas=cfg.audio.use_pallas,
         prepadded=True,  # collate_audio reflect-pads per utterance
     )
     return feats, frame_lengths

@@ -23,7 +23,7 @@ from __future__ import annotations
 import threading
 import time
 from collections import deque
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -258,6 +258,59 @@ class MetaTrainer(TransientTrainer):
     """Standard MAML (trainer/asr/meta_trainer.py): per-task query batches."""
 
     per_task_query = True
+
+
+def make_adapt_fn(model, cfg: Config):
+    """One inner-SGD adaptation step (the meta-test protocol of
+    meta_trainer.py:330-458: adapt on a support batch, then evaluate)."""
+    from .steps import make_forward_fn, _clip_tree
+
+    forward = make_forward_fn(model, cfg)
+
+    @jax.jit
+    def adapt(params, batch, rng):
+        (_, _), g = jax.value_and_grad(forward, has_aux=True)(
+            params, batch, rng, False
+        )
+        if cfg.train.clip:
+            g = _clip_tree(g, cfg.train.max_norm)
+        return jax.tree.map(lambda w, gw: w - cfg.train.lr * gw, params, g)
+
+    return adapt
+
+
+def meta_evaluate(
+    trainer: TrainerBase,
+    params,
+    train_dataset: SpectrogramDataset,
+    valid_sets: Sequence[SpectrogramDataset],
+    num_meta_test: int = 1,
+    adapt_manifest_id: int = -1,
+) -> Tuple[float, float]:
+    """Meta-test: inner-adapt on support draws from the (default: target)
+    manifest, then no-grad validate — averaged over num_meta_test trials."""
+    adapt = make_adapt_fn(trainer.model, trainer.cfg)
+    rng = jax.random.PRNGKey(trainer.cfg.train.seed + 7)
+    losses, cers = [], []
+    num_tasks = len(train_dataset.ids_list)
+    mid = adapt_manifest_id % num_tasks
+    for trial in range(max(1, num_meta_test)):
+        support, _ = train_dataset.sample_meta_batch(
+            trainer.cfg.train.k_train, 1, query_manifest_id=mid
+        )
+        batch = jax.tree.map(lambda x: jnp.asarray(x[mid]), support)
+        rng, sub = jax.random.split(rng)
+        adapted = adapt(params, batch, sub)
+        avg_loss, avg_cer, _, _ = trainer.evaluate(adapted, valid_sets, trial)
+        losses.append(avg_loss)
+        cers.append(avg_cer)
+    n = len(losses)
+    log_print(
+        "(Meta-test) trials={} AVG LOSS:{:.4f} AVG CER:{:.2f}%".format(
+            n, sum(losses) / n, sum(cers) / n
+        )
+    )
+    return sum(losses) / n, sum(cers) / n
 
 
 class JointTrainer(TrainerBase):
