@@ -124,12 +124,14 @@ def _train_epochs(model, params, train_data, val_data, args, save_path):
     for epoch in range(1, args.epochs + 1):
         t0 = time.time()
         i, total_loss, nb = 0, 0.0, 0
+        carry = model.apply(params, train_data.shape[1],
+                            method="init_carry")
         while i < len(train_data) - 1:
             data, target = get_batch(train_data, i, args.bptt)
             if data.shape[0] < args.bptt:
                 break  # reference trains on full windows; tail skipped
             rng, sub = jax.random.split(rng)
-            params, loss = step(params, data, target, lr, sub)
+            params, loss, carry = step(params, data, target, lr, sub, carry)
             total_loss += float(loss)
             nb += 1
             i += args.bptt

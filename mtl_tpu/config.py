@@ -129,6 +129,7 @@ class TrainConfig:
     # TPU-native knobs
     second_order: bool = False  # grad through inner SGD (true MAML)
     train_cer_every: int = 1  # compute train CER every N iterations (host sync)
+    profile_dir: str = ""  # jax.profiler trace output (captures iters 3..8)
 
 
 @dataclass
@@ -323,6 +324,8 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--dtype", default="bfloat16", type=str)
     p.add_argument("--use-pallas", action="store_true",
                    help="fused Pallas STFT front-end kernel (TPU only)")
+    p.add_argument("--profile-dir", default="", type=str,
+                   help="write a jax.profiler trace of a few train steps here")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--second-order", action="store_true")
     p.add_argument("--seed", default=123456, type=int)
@@ -408,6 +411,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             beta_decay=args.beta_decay,
             lr_disc=args.lr_disc,
             second_order=args.second_order,
+            profile_dir=args.profile_dir,
         ),
         decode=DecodeConfig(
             beam_search=args.beam_search,

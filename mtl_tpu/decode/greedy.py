@@ -20,7 +20,7 @@ from ..data.vocab import EOS_ID, Vocab
 from ..models.transformer import ASRTransformer
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
 def greedy_decode_ids(
     model: ASRTransformer,
     params,
@@ -28,8 +28,13 @@ def greedy_decode_ids(
     input_lengths: jnp.ndarray,  # B
     max_steps: int = 300,
     start_token: int = 1,  # SOS
+    early_exit: bool = True,
 ) -> jnp.ndarray:
-    """Returns decoded token ids [B, max_steps] (EOS handling on host)."""
+    """Returns decoded token ids [B, max_steps] (EOS handling on host).
+
+    ``early_exit`` stops the loop once every row has emitted EOS (identical
+    outputs — post-EOS tokens are discarded on host anyway; the reference
+    always runs the full 300 steps)."""
     b = features.shape[0]
     enc, enc_kvs = model.apply(
         params, features, input_lengths, method=ASRTransformer.prepare_decode
@@ -38,17 +43,41 @@ def greedy_decode_ids(
                          method=ASRTransformer.init_cache)
     y0 = jnp.full((b,), start_token, jnp.int32)
 
-    def step(carry, t):
-        y_t, caches = carry
+    if not early_exit:
+        def step(carry, t):
+            y_t, caches = carry
+            logits, caches = model.apply(
+                params, y_t, t, enc_kvs, caches,
+                method=ASRTransformer.decode_step,
+            )
+            next_y = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (next_y, caches), next_y
+
+        (_, _), ys = jax.lax.scan(step, (y0, caches), jnp.arange(max_steps))
+        return jnp.transpose(ys)  # B x max_steps
+
+    ys0 = jnp.full((b, max_steps), EOS_ID, jnp.int32)
+    done0 = jnp.zeros((b,), bool)
+
+    def cond(state):
+        t, _, _, _, done = state
+        return (t < max_steps) & ~jnp.all(done)
+
+    def body(state):
+        t, y_t, caches, ys, done = state
         logits, caches = model.apply(
             params, y_t, t, enc_kvs, caches,
             method=ASRTransformer.decode_step,
         )
         next_y = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return (next_y, caches), next_y
+        ys = ys.at[:, t].set(next_y)
+        done = done | (next_y == EOS_ID)
+        return t + 1, next_y, caches, ys, done
 
-    (_, _), ys = jax.lax.scan(step, (y0, caches), jnp.arange(max_steps))
-    return jnp.transpose(ys)  # B x max_steps
+    _, _, _, ys, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), y0, caches, ys0, done0)
+    )
+    return ys
 
 
 def ids_to_strings(ids, vocab: Vocab) -> List[str]:

@@ -35,32 +35,41 @@ from .model import RNNLM
 
 
 def make_lm_loss(model: RNNLM):
-    def loss_fn(params, data, target, rng=None, deterministic=True):
+    def loss_fn(params, data, target, rng=None, deterministic=True,
+                carry=None):
         rngs = {"dropout": rng} if rng is not None else None
-        logits, _ = model.apply(params, jnp.asarray(data),
-                                deterministic=deterministic, rngs=rngs)
+        logits, new_carry = model.apply(params, jnp.asarray(data), carry,
+                                        deterministic=deterministic,
+                                        rngs=rngs)
         t, b, v = logits.shape
         flat = logits.reshape(t * b, v)
         tgt = jnp.asarray(target).reshape(-1)
         lp = jax.nn.log_softmax(flat, -1)
-        return -jnp.mean(jnp.take_along_axis(lp, tgt[:, None], 1))
+        loss = -jnp.mean(jnp.take_along_axis(lp, tgt[:, None], 1))
+        return loss, new_carry
 
     return loss_fn
 
 
 def make_lm_sgd_step(model: RNNLM, clip: float):
     """One bptt-window SGD step (lm/main.py:256-275), lr as an argument so
-    annealing doesn't recompile."""
+    annealing doesn't recompile. The hidden state is carried across windows
+    within an epoch and detached per window ("repackage_hidden",
+    lm/main.py:157-163)."""
     loss_fn = make_lm_loss(model)
 
     @jax.jit
-    def step(params, data, target, lr, rng):
-        loss, grads = jax.value_and_grad(loss_fn)(params, data, target, rng,
-                                                  False)
+    def step(params, data, target, lr, rng, carry):
+        (loss, new_carry), grads = jax.value_and_grad(
+            lambda p: loss_fn(p, data, target, rng, False, carry),
+            has_aux=True,
+        )(params)
         gnorm = optax.global_norm(grads)
         scale = jnp.minimum(1.0, clip / (gnorm + 1e-6))
         params = jax.tree.map(lambda p, g: p - lr * scale * g, params, grads)
-        return params, loss
+        # detach: the carry re-enters the next step as a constant
+        new_carry = jax.lax.stop_gradient(new_carry)
+        return params, loss, new_carry
 
     return step
 
@@ -77,7 +86,8 @@ def make_lm_joint_step(model: RNNLM, clip: float, ratios: Sequence[float]):
 
         def total_fn(p):
             losses = jax.vmap(
-                lambda d, t, r: loss_fn(p, d, t, r, False), in_axes=(0, 0, 0)
+                lambda d, t, r: loss_fn(p, d, t, r, False)[0],
+                in_axes=(0, 0, 0),
             )(datas, targets, rngs)
             return jnp.sum(losses * ratios), losses
 
@@ -106,14 +116,14 @@ def make_lm_meta_step(model: RNNLM, clip: float, ratios: Sequence[float],
         rngs = jax.random.split(rng, datas.shape[0] + 1)
 
         def task_outer(p, d, t, r):
-            g = jax.grad(loss_fn)(p, d, t, r, False)
+            g = jax.grad(lambda q: loss_fn(q, d, t, r, False)[0])(p)
             gnorm = optax.global_norm(g)
             s = jnp.minimum(1.0, clip / (gnorm + 1e-6))
             g = jax.tree.map(lambda x: x * s, g)
             if not second_order:
                 g = jax.lax.stop_gradient(g)
             adapted = jax.tree.map(lambda w, gw: w - inner_lr * gw, p, g)
-            return loss_fn(adapted, q_data, q_target, rngs[-1], False)
+            return loss_fn(adapted, q_data, q_target, rngs[-1], False)[0]
 
         def outer(p):
             q_losses = jax.vmap(task_outer, in_axes=(None, 0, 0, 0))(

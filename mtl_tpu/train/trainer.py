@@ -184,6 +184,12 @@ class TransientTrainer(TrainerBase):
             ex = jax.tree.map(lambda x: x[0], support)
             state = init_train_state(self.model, cfg, outer_opt,
                                      jax.random.PRNGKey(cfg.train.seed), ex)
+            if cfg.continue_from:
+                from ..utils.checkpoint import load_checkpoint
+
+                _, _, state, _, _ = load_checkpoint(cfg.continue_from,
+                                                    target=state)
+                log_print(f"RESTORED STATE from {cfg.continue_from}")
 
         stopper = EarlyStopper(cfg.train.early_stop)
         history: List[dict] = (last_metrics or {}).get("history", [])
@@ -194,8 +200,18 @@ class TransientTrainer(TrainerBase):
         total_time = 0.0
         num_tasks = len(train_dataset.ids_list)
 
+        profiling = False
         it = start_it
         while it < num_it:
+            # profiling hook (SURVEY §5: the reference has no tracing at all)
+            if cfg.train.profile_dir:
+                if it == start_it + 3 and not profiling:
+                    jax.profiler.start_trace(cfg.train.profile_dir)
+                    profiling = True
+                elif profiling and it == start_it + 8:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    log_print(f"PROFILE written to {cfg.train.profile_dir}")
             support, query = prefetch.get()
             start_time = time.time()
             rng, sub = jax.random.split(rng)
@@ -358,6 +374,27 @@ class JointTrainer(TrainerBase):
 
                 state = init_disc_state(self.model, discriminator, cfg, state,
                                         ex)
+            if cfg.continue_from:
+                from ..utils.checkpoint import load_checkpoint
+
+                # finetune.py semantics: load the (meta or joint) checkpoint
+                # params/opt into a freshly-built state of the SAME model.
+                try:
+                    _, _, state, _, _ = load_checkpoint(cfg.continue_from,
+                                                        target=state)
+                except Exception:
+                    # optimizer structures differ (e.g. meta checkpoint into
+                    # an SGD finetune): restore params only, by name
+                    from flax import serialization
+
+                    _, _, raw, _, _ = load_checkpoint(cfg.continue_from)
+                    base = state.base if use_disc else state
+                    params = serialization.from_state_dict(
+                        base.params, raw["params"]
+                    )
+                    base = base.replace(params=params)
+                    state = state.replace(base=base) if use_disc else base
+                log_print(f"RESTORED STATE from {cfg.continue_from}")
 
         stopper = EarlyStopper(cfg.train.early_stop)
         history: List[dict] = (last_metrics or {}).get("history", [])

@@ -19,6 +19,12 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
+# This environment's TPU plugin overrides JAX_PLATFORMS, so tests may run on
+# a real TPU where the default f32 matmul precision is bf16-based — numeric
+# parity tests (finite differences, cache-vs-full decode, sharded-vs-single)
+# need true f32 accumulation.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 
 @pytest.fixture(scope="session")
 def rng():

@@ -32,7 +32,13 @@ def test_greedy_matches_bruteforce_reforward(setup):
     model, params, feats, lengths = setup
     max_steps = 6
     ids = np.asarray(greedy_decode_ids(model, params, feats, lengths,
-                                       max_steps, SOS_ID))
+                                       max_steps, SOS_ID, False))
+    # early-exit variant must agree after cutting at first EOS
+    ids_ee = np.asarray(greedy_decode_ids(model, params, feats, lengths,
+                                          max_steps, SOS_ID, True))
+    from mtl_tpu.data.vocab import Vocab
+    v = Vocab.from_labels(["<PAD>", "<SOS>", "<EOS>", "<OOV>"] + list("abcdefgh"))
+    assert ids_to_strings(ids, v) == ids_to_strings(ids_ee, v)
 
     # brute force: full-prefix re-forward with the reference greedy's masks
     # (non_pad all ones, subsequent-only self mask, NO dec-enc mask —

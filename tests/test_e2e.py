@@ -137,6 +137,46 @@ def test_joint_e2e_and_greedy_decode(tiny_cfg):
     assert all(isinstance(h, str) for h in hyps)
 
 
+def test_trainer_resume_restores_params(tiny_cfg, tmp_path):
+    """--continue-from must restore trained params into the trainer
+    (meta_transfer_train.py:180-184 resume semantics)."""
+    import optax
+
+    from mtl_tpu.models.transformer import build_model
+    from mtl_tpu.train.steps import init_train_state
+    from mtl_tpu.train.trainer import TransientTrainer
+    from mtl_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = tiny_cfg
+    cfg.save_folder = str(tmp_path)
+    vocab = Vocab.from_json(cfg.data.labels_path)
+    ds = SpectrogramDataset(vocab, cfg, cfg.data.train_manifest_list,
+                            is_train=True, seed=3)
+    support, _ = ds.sample_meta_batch(cfg.train.k_train, cfg.train.k_valid)
+    model = build_model(cfg, len(vocab))
+    opt = optax.adam(cfg.train.meta_lr)
+    marked = init_train_state(
+        model, cfg, opt, jax.random.PRNGKey(42),
+        jax.tree.map(lambda x: jnp.asarray(x[0]), support),
+    )
+    path = save_checkpoint(cfg, vocab, marked, 5)
+
+    cfg.continue_from = path
+    cfg.train.evaluate_every = 10**9  # no eval in this smoke run
+    trainer = TransientTrainer(model, cfg, vocab)
+    state = trainer.train(ds, [], start_it=0, num_it=1)
+    cfg.continue_from = ""
+    # after exactly one Adam step from the restored params, the distance to
+    # the checkpoint is tiny (lr*1 step), whereas a fresh init would differ
+    # by O(weight scale)
+    diffs = [
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(jax.tree.leaves(state.params),
+                        jax.tree.leaves(marked.params))
+    ]
+    assert max(diffs) < 5 * cfg.train.meta_lr, max(diffs)
+
+
 def test_checkpoint_roundtrip(tiny_cfg, tmp_path):
     import optax
 

@@ -101,11 +101,12 @@ def test_lm_sgd_training_decreases_loss(tiny_lm):
     target = rng.randint(0, 30, size=(24,)).astype(np.int32)
     step = make_lm_sgd_step(model, clip=0.25)
     loss_fn = make_lm_loss(model)
-    l0 = float(loss_fn(params, data, target))
+    l0 = float(loss_fn(params, data, target)[0])
     key = jax.random.PRNGKey(0)
+    carry = model.apply(params, 4, method="init_carry")
     for i in range(30):
         key, sub = jax.random.split(key)
-        params, loss = step(params, data, target, 1.0, sub)
+        params, loss, carry = step(params, data, target, 1.0, sub, carry)
     assert float(loss) < l0
 
 
