@@ -96,6 +96,40 @@ def run_tpu_bench(num_iters=20, warmup=3):
     return utts / elapsed / n_chips, elapsed / num_iters
 
 
+def run_decode_bench(num_iters=5):
+    """Greedy-decode real-time factor: seconds of audio decoded per second of
+    wall time (batched KV-cache decode; the reference's beam RTF metric's
+    greedy counterpart)."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_cfg
+    from mtl_tpu.decode.greedy import greedy_decode_ids
+    from mtl_tpu.models.transformer import build_model
+    from mtl_tpu.ops.targets import make_teacher_forcing
+    from mtl_tpu.train.steps import prepare_features
+
+    cfg = _flagship_cfg()
+    model = build_model(cfg, VOCAB_SIZE)
+    batch = {k: jnp.asarray(v) for k, v in
+             make_batches(cfg)[1].items()}  # 8 query utts of ~8 s
+    feats, lengths = prepare_features(batch, cfg)
+    seq_in, _ = make_teacher_forcing(batch["targets"])
+    params = model.init(jax.random.PRNGKey(0), feats, lengths, seq_in)
+
+    def run():
+        return greedy_decode_ids(model, params, feats, lengths, 300, 1, False)
+
+    np.asarray(run())  # compile
+    t0 = time.perf_counter()
+    for _ in range(num_iters):
+        ids = run()
+    np.asarray(ids)
+    wall = (time.perf_counter() - t0) / num_iters
+    audio_seconds = float(np.sum(np.asarray(batch["audio_lengths"])) / 16000)
+    return audio_seconds / wall
+
+
 def main():
     if "--torch-baseline" in sys.argv:
         from bench_baseline_torch import run_torch_baseline
@@ -106,6 +140,7 @@ def main():
         return
 
     value, step_ms = run_tpu_bench()
+    rtf = run_decode_bench()
     baseline = TORCH_CPU_BASELINE_UTT_PER_SEC
     out = {
         "metric": "meta_train_utt_per_sec_per_chip",
@@ -113,6 +148,7 @@ def main():
         "unit": "utt/s/chip",
         "vs_baseline": round(value / baseline, 2) if baseline else None,
         "meta_step_ms": round(step_ms * 1000.0, 1),
+        "greedy_decode_rtf": round(rtf, 2),
     }
     print(json.dumps(out))
 

@@ -73,7 +73,10 @@ class ModelConfig:
     r: int = 100
     # TPU-native knobs (no reference equivalent)
     dtype: str = "bfloat16"  # compute dtype; params stay float32
-    remat: bool = False  # jax.checkpoint over layers for meta second-order
+    remat: bool = False  # jax.checkpoint over encoder layers
+    remat_conv: bool = False  # recompute conv activations in backward:
+    # the flagship step is HBM-bound on full-resolution vgg activations
+    # (BASELINE.md roofline) — remat trades cheap FLOPs for that traffic
 
     def computed_dim_input(self, num_freq: int, feat: str = "spectrogram") -> int:
         """Encoder input width after the conv front-end.
@@ -327,6 +330,7 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--profile-dir", default="", type=str,
                    help="write a jax.profiler trace of a few train steps here")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--remat-conv", action="store_true")
     p.add_argument("--second-order", action="store_true")
     p.add_argument("--seed", default=123456, type=int)
     p.add_argument("--mesh-data", default=1, type=int)
@@ -382,6 +386,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             r=args.r,
             dtype=args.dtype,
             remat=args.remat,
+            remat_conv=args.remat_conv,
         ),
         train=TrainConfig(
             loss=args.loss,

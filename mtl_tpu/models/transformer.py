@@ -43,9 +43,13 @@ class ASRTransformer(nn.Module):
     r: int = 100
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
+    remat_conv: bool = False
 
     def setup(self):
-        self.conv = FeatureExtractor(self.feat_extractor, dtype=self.dtype)
+        conv_cls = FeatureExtractor
+        if self.remat_conv:
+            conv_cls = nn.remat(FeatureExtractor)
+        self.conv = conv_cls(self.feat_extractor, dtype=self.dtype)
         self.encoder = Encoder(
             num_layers=self.num_enc_layers, num_heads=self.num_heads,
             dim_model=self.dim_model, dim_key=self.dim_key,
@@ -72,7 +76,12 @@ class ASRTransformer(nn.Module):
         deterministic: bool = True,
         train_conv: bool = False,
     ) -> jnp.ndarray:
-        frames = self.conv(features, train=train_conv)  # B x T' x D_input
+        if self.remat_conv:
+            # avoid threading the python bool through the remat boundary;
+            # emb_cnn's BatchNorm then always uses running averages
+            frames = self.conv(features)
+        else:
+            frames = self.conv(features, train=train_conv)  # B x T' x D_input
         # Reference quirk (SURVEY.md §3.3): encoder masks use the raw,
         # un-downsampled lengths against downsampled time.
         return self.encoder(frames, input_lengths, deterministic)
@@ -141,4 +150,5 @@ def build_model(cfg: Config, vocab_size: int) -> ASRTransformer:
         r=m.r,
         dtype=jnp.bfloat16 if m.dtype == "bfloat16" else jnp.float32,
         remat=m.remat,
+        remat_conv=m.remat_conv,
     )

@@ -26,8 +26,11 @@ def _round_up(x: int, m: int) -> int:
 
 def _stft_kernel(frames_ref, cos_ref, nsin_ref, out_ref):
     frames = frames_ref[:]  # [TILE_R, K]
-    re = jnp.dot(frames, cos_ref[:], preferred_element_type=jnp.float32)
-    im = jnp.dot(frames, nsin_ref[:], preferred_element_type=jnp.float32)
+    # full f32 accumulation: log1p amplifies bf16-pass error at small bins
+    re = jnp.dot(frames, cos_ref[:], preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    im = jnp.dot(frames, nsin_ref[:], preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
     out_ref[:] = jnp.log1p(jnp.sqrt(re * re + im * im))
 
 
