@@ -73,6 +73,7 @@ class ModelConfig:
     r: int = 100
     # TPU-native knobs (no reference equivalent)
     dtype: str = "bfloat16"  # compute dtype; params stay float32
+    encoder_type: str = "transformer"  # transformer | conformer (stretch)
     remat: bool = False  # jax.checkpoint over encoder layers
     remat_conv: bool = False  # recompute conv activations in backward:
     # the flagship step is HBM-bound on full-resolution vgg activations
@@ -331,6 +332,8 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
                    help="write a jax.profiler trace of a few train steps here")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--remat-conv", action="store_true")
+    p.add_argument("--encoder-type", default="transformer", type=str,
+                   help="transformer (reference parity) | conformer (stretch)")
     p.add_argument("--second-order", action="store_true")
     p.add_argument("--seed", default=123456, type=int)
     p.add_argument("--mesh-data", default=1, type=int)
@@ -387,6 +390,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             dtype=args.dtype,
             remat=args.remat,
             remat_conv=args.remat_conv,
+            encoder_type=args.encoder_type,
         ),
         train=TrainConfig(
             loss=args.loss,

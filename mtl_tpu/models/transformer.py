@@ -44,21 +44,31 @@ class ASRTransformer(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
     remat_conv: bool = False
+    encoder_type: str = "transformer"  # transformer | conformer
 
     def setup(self):
         conv_cls = FeatureExtractor
         if self.remat_conv:
             conv_cls = nn.remat(FeatureExtractor)
         self.conv = conv_cls(self.feat_extractor, dtype=self.dtype)
-        self.encoder = Encoder(
-            num_layers=self.num_enc_layers, num_heads=self.num_heads,
-            dim_model=self.dim_model, dim_key=self.dim_key,
-            dim_value=self.dim_value, dim_input=self.dim_input,
-            dim_inner=self.dim_inner, dropout=self.dropout,
-            src_max_length=self.src_max_length,
-            is_factorized=self.is_factorized, r=self.r, dtype=self.dtype,
-            remat=self.remat,
-        )
+        if self.encoder_type == "conformer":
+            from .conformer import ConformerEncoder
+
+            self.encoder = ConformerEncoder(
+                num_layers=self.num_enc_layers, num_heads=self.num_heads,
+                dim_model=self.dim_model, dim_input=self.dim_input,
+                dropout=self.dropout, dtype=self.dtype, remat=self.remat,
+            )
+        else:
+            self.encoder = Encoder(
+                num_layers=self.num_enc_layers, num_heads=self.num_heads,
+                dim_model=self.dim_model, dim_key=self.dim_key,
+                dim_value=self.dim_value, dim_input=self.dim_input,
+                dim_inner=self.dim_inner, dropout=self.dropout,
+                src_max_length=self.src_max_length,
+                is_factorized=self.is_factorized, r=self.r, dtype=self.dtype,
+                remat=self.remat,
+            )
         self.decoder = Decoder(
             vocab_size=self.vocab_size, num_layers=self.num_dec_layers,
             num_heads=self.num_heads, dim_emb=self.dim_emb,
@@ -151,4 +161,5 @@ def build_model(cfg: Config, vocab_size: int) -> ASRTransformer:
         dtype=jnp.bfloat16 if m.dtype == "bfloat16" else jnp.float32,
         remat=m.remat,
         remat_conv=m.remat_conv,
+        encoder_type=m.encoder_type,
     )
