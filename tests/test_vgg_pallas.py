@@ -1,0 +1,96 @@
+"""Fused VGG-block Pallas kernel tests (interpreter mode — runs anywhere).
+
+Layouts are T-major: x [B, T, F] (C_in=1) or [B, T, F, C_in]; out
+[B, T//2, F//2, C]."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mtl_tpu.ops.vgg_pallas as vp
+from mtl_tpu.ops.vgg_pallas import (
+    fused_vgg_block,
+    vgg_block_forward_pallas,
+    vgg_block_reference,
+)
+
+
+def make_inputs(B, T, F, Cin, C, scale=0.1, seed=0):
+    rng = np.random.RandomState(seed)
+    shape = (B, T, F) if Cin == 1 else (B, T, F, Cin)
+    return (
+        jnp.asarray(rng.randn(*shape).astype(np.float32)),
+        jnp.asarray((rng.randn(3, 3, Cin, C) * scale).astype(np.float32)),
+        jnp.asarray((rng.randn(C) * scale).astype(np.float32)),
+        jnp.asarray((rng.randn(3, 3, C, C) * scale).astype(np.float32)),
+        jnp.asarray((rng.randn(C) * scale).astype(np.float32)),
+    )
+
+
+@pytest.mark.parametrize(
+    "B,T,F,Cin,C",
+    [
+        (2, 32, 13, 1, 8),    # odd F, single tile, C_in=1 (vgg block 1)
+        (1, 64, 21, 8, 16),   # C_in>1 (vgg block 2 shape)
+        (2, 256, 9, 1, 8),    # multiple time tiles (halo correctness)
+        (1, 128, 11, 8, 16),  # multiple tiles, C_in>1
+    ],
+)
+def test_fused_forward_matches_reference(B, T, F, Cin, C):
+    x, w1, b1, w2, b2 = make_inputs(B, T, F, Cin, C)
+    ref = np.asarray(vgg_block_reference(x, w1, b1, w2, b2), np.float32)
+    out = np.asarray(
+        vgg_block_forward_pallas(x, w1, b1, w2, b2, interpret=True),
+        np.float32,
+    )
+    assert out.shape == ref.shape == (B, T // 2, F // 2, C)
+    # bf16 outputs + backend matmul precision
+    np.testing.assert_allclose(out, ref, atol=4e-2, rtol=2e-2)
+
+
+def test_reference_matches_fmajor_flax_semantics():
+    """The T-major reference equals the F-major NHWC conv pipeline (i.e. the
+    layout change is pure transpose, weights HWIO with H=f)."""
+    B, T, F, C = 1, 16, 9, 4
+    x, w1, b1, w2, b2 = make_inputs(B, T, F, 1, C)
+    out_t = np.asarray(vgg_block_reference(x, w1, b1, w2, b2), np.float32)
+
+    xf = jnp.transpose(x, (0, 2, 1))[..., None]  # [B, F, T, 1]
+    dn = jax.lax.conv_dimension_numbers(xf.shape, w1.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(xf, w1, (1, 1), "SAME",
+                                     dimension_numbers=dn)
+    y = jnp.maximum(y + b1.reshape(1, 1, 1, -1), 0.0)
+    y = jax.lax.conv_general_dilated(y, w2, (1, 1), "SAME",
+                                     dimension_numbers=dn._replace())
+    y = jnp.maximum(y + b2.reshape(1, 1, 1, -1), 0.0)
+    y = y[:, : F // 2 * 2, : T // 2 * 2]
+    y = y.reshape(B, F // 2, 2, T // 2, 2, C)
+    out_f = jnp.max(jnp.max(y, axis=4), axis=2)  # [B, F//2, T//2, C]
+    out_f = np.asarray(jnp.transpose(out_f, (0, 2, 1, 3)), np.float32)
+    np.testing.assert_allclose(out_t, out_f, atol=2e-2, rtol=1e-2)
+
+
+def test_fused_block_trains():
+    """Gradient descent through fused_vgg_block (custom VJP wiring)."""
+    x, w1, b1, w2, b2 = make_inputs(1, 32, 9, 1, 4, scale=0.3)
+    target = vgg_block_reference(x, w1, b1, w2, b2).astype(jnp.float32)
+    params = (w1 + 0.1, b1, w2 - 0.1, b2)
+
+    old = vp.INTERPRET
+    vp.INTERPRET = True
+    try:
+        def loss_fn(p):
+            out = fused_vgg_block(x, p[0], p[1], p[2], p[3])
+            return jnp.mean((out.astype(jnp.float32) - target) ** 2)
+
+        l0 = None
+        for i in range(20):
+            l, g = jax.value_and_grad(loss_fn)(params)
+            params = jax.tree.map(lambda w, gw: w - 0.5 * gw, params, g)
+            if l0 is None:
+                l0 = float(l)
+        assert float(l) < l0 * 0.5, (l0, float(l))
+    finally:
+        vp.INTERPRET = old
