@@ -190,6 +190,10 @@ class TransientTrainer(TrainerBase):
                 _, _, state, _, _ = load_checkpoint(cfg.continue_from,
                                                     target=state)
                 log_print(f"RESTORED STATE from {cfg.continue_from}")
+            from ..utils.params import compute_num_params
+
+            log_print("Parameters: {}(trainable), {}(non-trainable)".format(
+                *compute_num_params(state.params)))
 
         stopper = EarlyStopper(cfg.train.early_stop)
         history: List[dict] = (last_metrics or {}).get("history", [])
