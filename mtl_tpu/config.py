@@ -134,6 +134,8 @@ class TrainConfig:
     second_order: bool = False  # grad through inner SGD (true MAML)
     train_cer_every: int = 1  # compute train CER every N iterations (host sync)
     profile_dir: str = ""  # jax.profiler trace output (captures iters 3..8)
+    device_cer: bool = False  # compute train CER on device (two scalars to
+    # host instead of decoding token matrices into strings every iteration)
 
 
 @dataclass
@@ -330,6 +332,9 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
                    help="fused Pallas STFT front-end kernel (TPU only)")
     p.add_argument("--profile-dir", default="", type=str,
                    help="write a jax.profiler trace of a few train steps here")
+    p.add_argument("--device-cer", action="store_true",
+                   help="compute train CER on device (no per-iteration host "
+                        "string decode)")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--remat-conv", action="store_true")
     p.add_argument("--encoder-type", default="transformer", type=str,
@@ -421,6 +426,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             lr_disc=args.lr_disc,
             second_order=args.second_order,
             profile_dir=args.profile_dir,
+            device_cer=args.device_cer,
         ),
         decode=DecodeConfig(
             beam_search=args.beam_search,

@@ -180,6 +180,7 @@ def make_meta_step(
     cfg: Config,
     outer_optimizer,
     per_task_query: bool = False,
+    space_id: Optional[int] = None,
 ) -> Callable:
     """One jitted meta iteration.
 
@@ -237,6 +238,15 @@ def make_meta_step(
             "query_hyp": q_aux["hyp"],
             "query_gold": q_aux["gold"],
         }
+        if cfg.train.device_cer:
+            from ..ops.edit_distance_jax import device_cer
+
+            k, b, l = s_aux["hyp"].shape
+            d, c = device_cer(s_aux["hyp"].reshape(k * b, l),
+                              s_aux["gold"].reshape(k * b, l),
+                              space_id=space_id)
+            metrics["cer_dist"] = d
+            metrics["cer_chars"] = c
         return new_state, metrics
 
     return step

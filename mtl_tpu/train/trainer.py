@@ -170,7 +170,8 @@ class TransientTrainer(TrainerBase):
         cfg = self.cfg
         inner_lr, outer_opt = make_meta_optimizers(cfg)
         step_fn = make_meta_step(self.model, cfg, outer_opt,
-                                 per_task_query=self.per_task_query)
+                                 per_task_query=self.per_task_query,
+                                 space_id=self.vocab.label2id.get(" "))
 
         fetch = lambda: train_dataset.sample_meta_batch(
             cfg.train.k_train, cfg.train.k_valid,
@@ -221,7 +222,9 @@ class TransientTrainer(TrainerBase):
             rng, sub = jax.random.split(rng)
             state, m = step_fn(state, support, query, sub)
             outer_loss = float(m["outer_loss"])
-            if (it + 1) % max(cfg.train.train_cer_every, 1) == 0:
+            if cfg.train.device_cer:
+                cer, nchar = int(m["cer_dist"]), max(int(m["cer_chars"]), 1)
+            elif (it + 1) % max(cfg.train.train_cer_every, 1) == 0:
                 cer, nchar = batch_cer(m["support_hyp"], m["support_gold"],
                                        self.vocab)
             else:
