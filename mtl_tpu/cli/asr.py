@@ -149,8 +149,9 @@ def test_main(argv=None):
     total_cer = total_wer = total_char = total_word = 0
     total_en_cer = total_zh_cer = total_en_char = total_zh_char = 0
     start = time.time()
+    k_test = getattr(args, "k_test", None) or cfg.train.k_valid
     for ds in test_sets:
-        for batch in ds.iter_batches(cfg.train.k_valid, shuffle=False):
+        for batch in ds.iter_batches(k_test, shuffle=False):
             feats, lengths = prepare_features(
                 jax.tree.map(jnp.asarray, batch), saved_cfg
             )
