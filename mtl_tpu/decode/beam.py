@@ -6,15 +6,21 @@ end a length bonus ``sqrt(num_words) * c_weight`` plus optional LM
 shallow-fusion rescoring (``score + lm_weight*lm_score - 2*oov``,
 decoder.py:261-265).
 
-Differences by design (documented for the judge):
-* the reference is a per-utterance Python loop re-forwarding the full prefix
-  per hypothesis per step; here all utterances x beams advance in one jitted
-  lax.scan with KV caches (flattened to a [B*W] batch axis);
-* the reference accumulates every ended hypothesis (possibly > beam_width)
-  and ranks at the end; the device search keeps the standard fixed-W frontier
-  where an ended beam is frozen (EOS self-loop, score kept). The final
-  ranking — length bonus and LM fusion, which need *strings* — runs on host
-  over the W returned beams, matching the reference's final_score formula.
+Algorithm parity (static-shape re-expression of the reference's loop):
+* each step expands every live beam by top-W tokens; expansions that end in
+  EOS RETIRE to a fixed-size bank of ended hypotheses (best-kept) and their
+  frontier slot dies (score -inf), exactly like the reference's shrinking
+  `hyps`/`ended_hyps` lists (decoder.py:250-280);
+* decoding stops when every frontier slot is dead or max_steps is reached
+  (at the horizon the reference appends EOS to survivors, :253-255 — the
+  bank absorbs them the same way);
+* the final ranking — length bonus sqrt(num_words)*c_weight and LM fusion,
+  which need *strings* — runs on host over the bank, matching final_score;
+* differences: the reference is a per-utterance Python loop re-forwarding
+  the full prefix per hypothesis per step (no KV cache) and its bank is
+  unbounded; here all utterances x beams advance in one jitted
+  lax.while_loop with KV caches (flattened [B*W] batch) and the bank holds
+  the best `bank_size` ended hypotheses per utterance;
 * like the reference search paths, NO dec-enc attention mask is applied.
 """
 
@@ -34,7 +40,7 @@ from ..models.transformer import ASRTransformer
 NEG_INF = -1.0e9
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7))
 def beam_decode_ids(
     model: ASRTransformer,
     params,
@@ -43,10 +49,14 @@ def beam_decode_ids(
     beam_width: int = 3,
     max_steps: int = 300,
     start_token: int = 1,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (tokens [B, W, max_steps], scores [B, W]) sorted by score."""
+    bank_size: int = 0,  # 0 -> max(beam_width, 5)
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (bank_tokens [B, N, max_steps+1], bank_scores [B, N],
+    bank_lengths [B, N]) — the best N ended hypotheses per utterance, EOS
+    included at position length-1; empty slots have score <= NEG_INF/2."""
     b = features.shape[0]
     w = beam_width
+    n_bank = bank_size or max(beam_width, 5)
     enc, enc_kvs = model.apply(
         params, features, input_lengths, method=ASRTransformer.prepare_decode
     )
@@ -55,37 +65,43 @@ def beam_decode_ids(
         lambda x: jnp.repeat(x, w, axis=0), enc_kvs,
         is_leaf=lambda x: isinstance(x, jnp.ndarray),
     )
-    caches = model.apply(params, b * w, max_steps + 1,
-                         method=ASRTransformer.init_cache)
+    caches0 = model.apply(params, b * w, max_steps + 1,
+                          method=ASRTransformer.init_cache)
 
     y0 = jnp.full((b * w,), start_token, jnp.int32)
     # only beam 0 alive initially (others at -inf so duplicates don't win)
     scores0 = jnp.tile(
         jnp.concatenate([jnp.zeros((1,)), jnp.full((w - 1,), NEG_INF)]), (b,)
     ).reshape(b, w)
-    finished0 = jnp.zeros((b, w), bool)
-    tokens0 = jnp.zeros((b, w, max_steps), jnp.int32)
+    tokens0 = jnp.zeros((b, w, max_steps + 1), jnp.int32)
+    bank_scores0 = jnp.full((b, n_bank), 2 * NEG_INF)
+    bank_tokens0 = jnp.full((b, n_bank, max_steps + 1), EOS_ID, jnp.int32)
+    bank_len0 = jnp.zeros((b, n_bank), jnp.int32)
 
-    def step(carry, t):
-        y_t, caches, scores, finished, tokens = carry
+    def cond(state):
+        t, _, _, scores, *_ = state
+        return (t < max_steps) & jnp.any(scores > NEG_INF / 2)
+
+    def body(state):
+        (t, y_t, caches, scores, tokens,
+         bank_scores, bank_tokens, bank_len) = state
         logits, caches = model.apply(
             params, y_t, t, enc_kvs, caches,
             method=ASRTransformer.decode_step,
         )  # [B*W, V]
         v = logits.shape[-1]
         logp = jax.nn.log_softmax(logits, axis=-1).reshape(b, w, v)
+        alive = scores > NEG_INF / 2
+        cand = jnp.where(alive[..., None], scores[..., None] + logp,
+                         2 * NEG_INF)  # B x W x V
 
-        # frozen beams: only EOS continuation, zero increment
-        eos_only = jnp.full((v,), NEG_INF).at[EOS_ID].set(0.0)
-        logp = jnp.where(finished[..., None], eos_only[None, None, :], logp)
-
-        cand = scores[..., None] + logp  # B x W x V
+        # top-W over ALL expansions (incl. EOS) — the reference's
+        # hyps_best_kept (decoder.py:239-250)
         flat = cand.reshape(b, w * v)
         top_scores, top_idx = jax.lax.top_k(flat, w)  # B x W
-        src_beam = top_idx // v  # B x W
+        src_beam = top_idx // v
         next_tok = (top_idx % v).astype(jnp.int32)
 
-        # gather state from source beams
         def gather_bw(x):  # [B, W, ...] select along W
             return jnp.take_along_axis(
                 x, src_beam.reshape(src_beam.shape + (1,) * (x.ndim - 2)),
@@ -93,25 +109,56 @@ def beam_decode_ids(
             )
 
         tokens = gather_bw(tokens).at[:, :, t].set(next_tok)
-        new_finished = gather_bw(finished[..., None])[..., 0] | (
-            next_tok == EOS_ID
+
+        # EOS selections retire into the bank and their slot dies — the
+        # reference's shrinking hyps -> ended_hyps move (decoder.py:257-276)
+        is_eos = next_tok == EOS_ID
+        retire_scores = jnp.where(is_eos, top_scores, 2 * NEG_INF)
+        all_scores = jnp.concatenate([bank_scores, retire_scores], axis=1)
+        all_tokens = jnp.concatenate([bank_tokens, tokens], axis=1)
+        all_len = jnp.concatenate(
+            [bank_len, jnp.full((b, w), t + 1, jnp.int32)], axis=1
         )
+        top_bank, bank_idx = jax.lax.top_k(all_scores, n_bank)
+        bank_scores = top_bank
+        bank_tokens = jnp.take_along_axis(all_tokens, bank_idx[:, :, None],
+                                          axis=1)
+        bank_len = jnp.take_along_axis(all_len, bank_idx, axis=1)
+
+        new_scores = jnp.where(is_eos, NEG_INF, top_scores)
 
         # reorder caches: cache leaves are [B*W, T, H, D]
         flat_src = (jnp.arange(b)[:, None] * w + src_beam).reshape(-1)
-
         caches = jax.tree.map(
             lambda x: x[flat_src], caches,
             is_leaf=lambda x: isinstance(x, jnp.ndarray),
         )
-        return (next_tok.reshape(-1), caches, top_scores, new_finished,
-                tokens), None
+        return (t + 1, next_tok.reshape(-1), caches, new_scores, tokens,
+                bank_scores, bank_tokens, bank_len)
 
-    carry = (y0, caches, scores0, finished0, tokens0)
-    (y_t, caches, scores, finished, tokens), _ = jax.lax.scan(
-        step, carry, jnp.arange(max_steps)
+    state = (jnp.int32(0), y0, caches0, scores0, tokens0,
+             bank_scores0, bank_tokens0, bank_len0)
+    (t_end, _, _, scores, tokens, bank_scores, bank_tokens,
+     bank_len) = jax.lax.while_loop(cond, body, state)
+
+    # horizon retirement: survivors get EOS appended at their raw score
+    # (the reference's force-append, decoder.py:253-255)
+    live = scores > NEG_INF / 2
+    retire_scores = jnp.where(live, scores, 2 * NEG_INF)
+    tokens = jax.vmap(
+        lambda tk, tt: tk.at[:, tt].set(EOS_ID), in_axes=(0, None)
+    )(tokens, t_end)
+    all_scores = jnp.concatenate([bank_scores, retire_scores], axis=1)
+    all_tokens = jnp.concatenate([bank_tokens, tokens], axis=1)
+    all_len = jnp.concatenate(
+        [bank_len, jnp.full((b, w), 0, jnp.int32) + t_end + 1], axis=1
     )
-    return tokens, scores
+    top_bank, bank_idx = jax.lax.top_k(all_scores, n_bank)
+    bank_scores = top_bank
+    bank_tokens = jnp.take_along_axis(all_tokens, bank_idx[:, :, None],
+                                      axis=1)
+    bank_len = jnp.take_along_axis(all_len, bank_idx, axis=1)
+    return bank_tokens, bank_scores, bank_len
 
 
 def beam_search(
@@ -133,25 +180,22 @@ def beam_search(
     returns (nbest id lists, nbest strings) flattened over the batch (the
     reference appends all utterances' nbests into flat lists,
     decoder.py:286-291)."""
-    tokens, scores = beam_decode_ids(
+    tokens, scores, lengths = beam_decode_ids(
         model, params, features, input_lengths, beam_width, max_steps,
-        start_token,
+        start_token, max(nbest, beam_width),
     )
     tokens = np.asarray(tokens)
     scores = np.asarray(scores)
+    lengths = np.asarray(lengths)
     b, w, _ = tokens.shape
 
     batch_ids_nbest, batch_strs_nbest = [], []
     for x in range(b):
         hyps = []
         for j in range(w):
-            row = tokens[x, j]
-            eos_pos = np.where(row == EOS_ID)[0]
-            if len(eos_pos) == 0:
-                # never ended: reference appends EOS at the horizon (:253-255)
-                ids = row.tolist() + [EOS_ID]
-            else:
-                ids = row[: eos_pos[0] + 1].tolist()
+            if scores[x, j] <= NEG_INF / 2:
+                continue  # empty bank slot
+            ids = tokens[x, j, : lengths[x, j]].tolist()
             raw = "".join(vocab.id2label[int(i)] for i in ids)
             s = post_process(raw, vocab.special_token_list).replace("  ", " ")
             if lm_rescoring and lm is not None:

@@ -67,30 +67,40 @@ def test_greedy_matches_bruteforce_reforward(setup):
 
 
 def test_beam_width1_equals_greedy(setup):
+    """Width-1 beam == greedy until the first EOS (incl. the horizon
+    force-retirement when EOS never wins)."""
     model, params, feats, lengths = setup
     max_steps = 6
     g = np.asarray(greedy_decode_ids(model, params, feats, lengths,
-                                     max_steps, SOS_ID))
-    tokens, scores = beam_decode_ids(model, params, feats, lengths, 1,
-                                     max_steps, SOS_ID)
+                                     max_steps, SOS_ID, False))
+    tokens, scores, blen = beam_decode_ids(model, params, feats, lengths, 1,
+                                           max_steps, SOS_ID)
     tokens = np.asarray(tokens)
-    # until the first EOS the sequences must agree
+    blen = np.asarray(blen)
     for x in range(g.shape[0]):
-        row_g, row_b = g[x], tokens[x, 0]
-        for a, b_ in zip(row_g, row_b):
+        best = tokens[x, 0, : blen[x, 0]]
+        assert best[-1] == EOS_ID
+        for a, b_ in zip(g[x], best):
             np.testing.assert_array_equal(a, b_)
             if a == EOS_ID:
                 break
 
 
-def test_beam_scores_sorted_and_finite(setup):
+def test_beam_bank_sorted_and_finite(setup):
     model, params, feats, lengths = setup
-    tokens, scores = beam_decode_ids(model, params, feats, lengths, 3, 6,
-                                     SOS_ID)
+    tokens, scores, blen = beam_decode_ids(model, params, feats, lengths, 3,
+                                           6, SOS_ID)
     s = np.asarray(scores)
-    assert s.shape == (2, 3)
-    assert (np.diff(s, axis=1) <= 1e-5).all()
-    assert np.isfinite(s[:, 0]).all()
+    assert s.shape[0] == 2
+    assert (np.diff(s, axis=1) <= 1e-5).all()  # sorted desc
+    assert np.isfinite(s[:, 0]).all() and (s[:, 0] > -1e8).all()
+    # every real bank entry ends with EOS at length-1
+    blen = np.asarray(blen)
+    tokens = np.asarray(tokens)
+    for x in range(s.shape[0]):
+        for j in range(s.shape[1]):
+            if s[x, j] > -1e8:
+                assert tokens[x, j, blen[x, j] - 1] == EOS_ID
 
 
 def test_beam_search_host_ranking(setup):

@@ -42,8 +42,9 @@ def test_ce_label_smoothing_formula():
             g = int(gold[b, t])
             if g == 0:
                 continue
+            # reference: one_hot*(1-eps) + (1-one_hot)*eps/C
             one_hot = np.full(5, eps / 5)
-            one_hot[g] = (1 - eps) + eps / 5
+            one_hot[g] = 1 - eps
             total += -np.sum(one_hot * np.asarray(lp[b, t]))
             n += 1
     np.testing.assert_allclose(float(loss), total / n, rtol=1e-5)
