@@ -23,10 +23,17 @@ with --torch-baseline to re-measure.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Persistent compile cache: the flagship step takes minutes to compile cold;
+# repeated driver runs on this host reuse the cache.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 
 # Measured by bench_baseline_torch.py (same shapes, same per-iteration work,
 # torch CPU on this host, 2026-08: 83.27 s/iter; see BASELINE.md for
