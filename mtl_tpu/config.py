@@ -164,6 +164,7 @@ class DataConfig:
     # Static-shape bucketing (TPU-native; reference pads dynamically per batch)
     src_bucket_frames: Tuple[int, ...] = (200, 400, 800, 1600, 2500)
     tgt_bucket_len: Tuple[int, ...] = (32, 64, 128, 256)
+    wave_cache_size: int = 2048  # decoded-waveform LRU entries (0 = off)
 
 
 @dataclass

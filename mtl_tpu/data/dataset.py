@@ -177,17 +177,30 @@ class SpectrogramDataset:
                 cfg.audio.noise_dir, cfg.audio.sample_rate,
                 (cfg.audio.noise_min, cfg.audio.noise_max),
             )
+        # bounded decoded-waveform cache: k-shot meta sampling revisits
+        # utterances constantly and the (single-core) host decode would
+        # otherwise pace the device step; disabled when augmenting (random
+        # tempo/gain make waves non-reusable)
+        self._wave_cache: "dict[str, np.ndarray]" = {}
+        self._wave_cache_cap = int(cfg.data.wave_cache_size)
 
     def __len__(self) -> int:
         return self.part_len
 
     def _load_wave(self, audio_path: str) -> np.ndarray:
+        randomized = self.augment or self.noise_injector is not None
+        if not randomized and audio_path in self._wave_cache:
+            return self._wave_cache[audio_path]
         y = load_audio(audio_path)
         if self.augment:
             y = augment_audio(y, self.rng)
         if self.noise_injector is not None:
             if self.rng.binomial(1, self.cfg.audio.noise_prob):
                 y = self.noise_injector.inject(y, self.rng)
+        if not randomized and self._wave_cache_cap > 0:
+            if len(self._wave_cache) >= self._wave_cache_cap:
+                self._wave_cache.pop(next(iter(self._wave_cache)))
+            self._wave_cache[audio_path] = y
         return y
 
     def get_utterance(
