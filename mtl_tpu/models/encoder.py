@@ -80,7 +80,8 @@ class Encoder(nn.Module):
         rank = self.r if self.is_factorized else None
         self.input_linear = FactorizedDense(self.dim_model, r=rank,
                                             dtype=self.dtype)
-        self.layer_norm_input = nn.LayerNorm(dtype=jnp.float32)
+        # epsilon=1e-5: torch nn.LayerNorm default (cross-framework parity)
+        self.layer_norm_input = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
         self.positional_encoding = PositionalEncoding(
             self.dim_model, self.src_max_length
         )

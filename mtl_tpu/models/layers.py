@@ -106,7 +106,8 @@ class FeedForward(nn.Module):
         self.linear_1 = FactorizedDense(self.dim_ff, r=rank, dtype=self.dtype)
         self.linear_2 = FactorizedDense(self.dim_model, r=rank, dtype=self.dtype)
         self.drop = nn.Dropout(self.dropout)
-        self.layer_norm = nn.LayerNorm(dtype=jnp.float32)
+        # epsilon=1e-5: torch nn.LayerNorm default (cross-framework parity)
+        self.layer_norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
 
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         residual = x
@@ -137,7 +138,8 @@ class MultiHeadAttention(nn.Module):
         )
         self.attn_drop = nn.Dropout(self.dropout)
         self.out_drop = nn.Dropout(self.dropout)
-        self.layer_norm = nn.LayerNorm(dtype=jnp.float32)
+        # epsilon=1e-5: torch nn.LayerNorm default (cross-framework parity)
+        self.layer_norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
 
     # ---- head projections ------------------------------------------------
     def _q_heads(self, x: jnp.ndarray) -> jnp.ndarray:

@@ -23,15 +23,19 @@ import optax
 from ..data.vocab import PAD_ID
 
 
-def ce_loss(
+def ce_row_losses(
     logits: jnp.ndarray,  # B x L x C float32
     gold: jnp.ndarray,  # B x L int ids (PAD-padded)
     pad_id: int = PAD_ID,
     smoothing: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (scalar mean loss over non-pad tokens, num_correct)."""
+    """Per-row (loss sum over non-pad tokens, non-pad token count).
+
+    The batch-mean CE is sum(row_loss)/sum(row_tokens); exposing the per-row
+    decomposition lets eval trim padded duplicate rows from ragged final
+    batches (reference AudioDataLoader emits a smaller final batch instead,
+    utils/data_loader.py:401-477)."""
     mask = gold != pad_id  # B x L
-    num = jnp.maximum(jnp.sum(mask), 1)
     log_probs = jax.nn.log_softmax(logits, axis=-1)
 
     if smoothing > 0.0:
@@ -45,7 +49,21 @@ def ce_loss(
             log_probs, gold[..., None], axis=-1
         )[..., 0]
 
-    loss = jnp.sum(jnp.where(mask, tok_loss, 0.0)) / num
+    row_loss = jnp.sum(jnp.where(mask, tok_loss, 0.0), axis=-1)  # B
+    row_tokens = jnp.sum(mask, axis=-1)  # B
+    return row_loss, row_tokens
+
+
+def ce_loss(
+    logits: jnp.ndarray,  # B x L x C float32
+    gold: jnp.ndarray,  # B x L int ids (PAD-padded)
+    pad_id: int = PAD_ID,
+    smoothing: float = 0.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (scalar mean loss over non-pad tokens, num_correct)."""
+    mask = gold != pad_id  # B x L
+    row_loss, row_tokens = ce_row_losses(logits, gold, pad_id, smoothing)
+    loss = jnp.sum(row_loss) / jnp.maximum(jnp.sum(row_tokens), 1)
 
     hyp = jnp.argmax(logits, axis=-1)
     num_correct = jnp.sum((hyp == gold) & mask)
@@ -66,7 +84,11 @@ def ctc_loss(
     target_lengths: jnp.ndarray,  # B
     pad_id: int = PAD_ID,
 ) -> jnp.ndarray:
-    """Mean CTC loss; blank id = PAD (reference passes no blank => 0)."""
+    """CTC loss; blank id = PAD (reference passes no blank => 0).
+
+    torch ``F.ctc_loss(reduction="mean")`` parity: each sequence's loss is
+    divided by its target length before the batch mean
+    (utils/metrics.py:141 — verified in tests/test_torch_parity.py)."""
     t = logits.shape[1]
     l = targets.shape[1]
     logit_paddings = (jnp.arange(t)[None, :] >= input_lengths[:, None]).astype(
@@ -78,7 +100,7 @@ def ctc_loss(
     per_seq = optax.ctc_loss(
         logits, logit_paddings, targets, label_paddings, blank_id=pad_id
     )
-    return jnp.mean(per_seq)
+    return jnp.mean(per_seq / jnp.maximum(target_lengths, 1))
 
 
 def adversarial_losses(

@@ -1,0 +1,432 @@
+"""Cross-framework numerical parity vs the actual PyTorch reference.
+
+These tests import the reference modules from /root/reference (read-only,
+torch CPU), transplant mtl_tpu Flax parameters into the reference model, and
+assert that on the same inputs:
+
+* teacher-forced logits match (models/asr/transformer.py:120-149),
+* CE loss (plain + label-smoothed) and num_correct match
+  (utils/metrics.py:68-126),
+* greedy decode strings match (modules/decoder.py:131-184),
+* the conv feature extractors match (models/asr/transformer.py:38-72),
+* CTC loss matches at the loss level (utils/metrics.py:127-148).
+
+This converts the docstring parity claims into executed evidence. The only
+deliberate divergences, handled explicitly here:
+
+* conv feature flattening order — the reference flattens channel-major
+  (models/asr/transformer.py:93), mtl_tpu freq-major; a fixed permutation of
+  the encoder input-projection rows absorbs it (see ``_conv_feat_perm``).
+* torch ``nn.Embedding(padding_idx=0)``'s PAD row is re-randomized by the
+  reference's blanket xavier re-init (models/asr/transformer.py:74-76) while
+  mtl_tpu zeroes the PAD row at call time; the transplant zeroes the torch
+  PAD row so both compute the same function (PAD never appears in
+  teacher-forcing inputs, so this only affects pathological decode paths).
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF_PATH = "/root/reference"
+
+
+# --------------------------------------------------------------------------
+# Reference import plumbing
+# --------------------------------------------------------------------------
+
+def _stub_missing_native_deps():
+    """The reference imports sox/corenlp/librosa wrappers at module scope;
+    none are needed for the model math, so stub what's absent."""
+    for name, attrs in {
+        "stanfordcorenlp": ["StanfordCoreNLP"],
+        "Levenshtein": ["distance"],
+        "librosa": [],
+        "torchaudio": ["load"],
+        "python_speech_features": ["logfbank"],
+    }.items():
+        try:
+            __import__(name)
+        except ImportError:
+            mod = types.ModuleType(name)
+            for attr in attrs:
+                setattr(mod, attr, lambda *a, **k: None)
+            sys.modules[name] = mod
+
+
+@pytest.fixture(scope="module")
+def ref():
+    _stub_missing_native_deps()
+    if REF_PATH not in sys.path:
+        # append (not insert) so the reference's top-level `utils`/`models`
+        # packages can never shadow anything of ours
+        sys.path.append(REF_PATH)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", SyntaxWarning)
+        from models.asr.transformer import Transformer as RefTransformer
+        from modules.encoder import Encoder as RefEncoder
+        from modules.decoder import Decoder as RefDecoder
+        from utils.data import Vocab as RefVocab
+        from utils import metrics as ref_metrics
+
+    ns = types.SimpleNamespace(
+        Transformer=RefTransformer, Encoder=RefEncoder, Decoder=RefDecoder,
+        Vocab=RefVocab, metrics=ref_metrics,
+    )
+    return ns
+
+
+# --------------------------------------------------------------------------
+# Tiny shared configuration
+# --------------------------------------------------------------------------
+
+LABELS = list("abcdefgh")  # vocab ids 4..11; V = 12
+V = 4 + len(LABELS)
+F_BINS = 8           # spectrogram freq bins; vgg -> F'=2, C=128, dim_input=256
+T_FRAMES = 20        # vgg -> T'=5
+DIMS = dict(num_enc_layers=2, num_dec_layers=2, num_heads=2, dim_model=16,
+            dim_key=8, dim_value=8, dim_inner=16, dim_emb=16, r=4)
+# TGT_MAX > 300: the reference greedy loop always runs 300 steps
+# (modules/decoder.py:145) and indexes the PE table up to 301 positions
+SRC_MAX, TGT_MAX = 64, 320
+
+
+def _vocabs(ref):
+    rv = ref.Vocab()
+    for c in LABELS:
+        rv.add_label(c)
+    from mtl_tpu.data.vocab import Vocab
+
+    mv = Vocab()
+    for c in LABELS:
+        mv.add_label(c)
+    assert rv.id2label == mv.id2label
+    return rv, mv
+
+
+def _batch(seed=0):
+    rng = np.random.RandomState(seed)
+    feats = rng.randn(3, T_FRAMES, F_BINS).astype(np.float32)
+    # raw (un-downsampled) lengths; 3 < T'=5 exercises the encoder mask quirk
+    lengths = np.array([20, 15, 3], np.int32)
+    targets = np.zeros((3, 6), np.int64)
+    for i, n in enumerate([6, 4, 2]):
+        targets[i, :n] = rng.randint(4, V, size=n)
+    return feats, lengths, targets
+
+
+# --------------------------------------------------------------------------
+# Weight transplant: Flax param tree -> torch state_dict values
+# --------------------------------------------------------------------------
+
+def _t(x):
+    return torch.from_numpy(np.asarray(x, np.float32))
+
+
+def _conv_feat_perm(f_prime: int, channels: int) -> np.ndarray:
+    """perm[j] maps the reference's channel-major feature index
+    j = c*F' + f to mtl_tpu's freq-major index i = f*C + c."""
+    j = np.arange(f_prime * channels)
+    return (j % f_prime) * channels + (j // f_prime)
+
+
+def _copy_factorized(dst: dict, prefix: str, tree: dict, in_perm=None):
+    """FactorizedDense {a,b} or {full} -> torch `{prefix}_a/_b` or `{prefix}`."""
+    if "a" in tree:
+        a = np.asarray(tree["a"]["kernel"], np.float32)  # (in, r)
+        if in_perm is not None:
+            a = a[in_perm]
+        dst[f"{prefix}_a.weight"] = _t(a.T)
+        dst[f"{prefix}_b.weight"] = _t(np.asarray(tree["b"]["kernel"]).T)
+        dst[f"{prefix}_b.bias"] = _t(tree["b"]["bias"])
+    else:
+        k = np.asarray(tree["full"]["kernel"], np.float32)  # (in, out)
+        if in_perm is not None:
+            k = k[in_perm]
+        dst[f"{prefix}.weight"] = _t(k.T)
+        dst[f"{prefix}.bias"] = _t(tree["full"]["bias"])
+
+
+def _copy_mha(dst: dict, prefix: str, tree: dict):
+    for name in ("query_linear", "key_linear", "value_linear", "output_linear"):
+        _copy_factorized(dst, f"{prefix}.{name}", tree[name])
+    dst[f"{prefix}.layer_norm.weight"] = _t(tree["layer_norm"]["scale"])
+    dst[f"{prefix}.layer_norm.bias"] = _t(tree["layer_norm"]["bias"])
+
+
+def _copy_ffn(dst: dict, prefix: str, tree: dict):
+    _copy_factorized(dst, f"{prefix}.linear_1", tree["linear_1"])
+    _copy_factorized(dst, f"{prefix}.linear_2", tree["linear_2"])
+    dst[f"{prefix}.layer_norm.weight"] = _t(tree["layer_norm"]["scale"])
+    dst[f"{prefix}.layer_norm.bias"] = _t(tree["layer_norm"]["bias"])
+
+
+def flax_to_torch_state(params: dict, f_prime: int, channels: int,
+                        conv_indices=(0, 2, 5, 7)) -> dict:
+    """Map an mtl_tpu ASRTransformer param tree onto the reference
+    Transformer's state_dict key space."""
+    p = params["params"]
+    sd = {}
+    # vgg/large conv stack: flax NHWC (kh,kw,in,out) -> torch (out,in,kh,kw)
+    for flax_i, torch_i in enumerate(conv_indices):
+        leaf = p["conv"]["conv"][f"Conv_{flax_i}"]
+        sd[f"conv.{torch_i}.weight"] = _t(
+            np.transpose(np.asarray(leaf["kernel"], np.float32), (3, 2, 0, 1))
+        )
+        sd[f"conv.{torch_i}.bias"] = _t(leaf["bias"])
+
+    enc = p["encoder"]
+    perm = _conv_feat_perm(f_prime, channels)
+    _copy_factorized(sd, "encoder.input_linear", enc["input_linear"],
+                     in_perm=perm)
+    sd["encoder.layer_norm_input.weight"] = _t(enc["layer_norm_input"]["scale"])
+    sd["encoder.layer_norm_input.bias"] = _t(enc["layer_norm_input"]["bias"])
+    for i in range(DIMS["num_enc_layers"]):
+        layer = enc[f"layers_{i}"]
+        _copy_mha(sd, f"encoder.layers.{i}.self_attn", layer["self_attn"])
+        _copy_ffn(sd, f"encoder.layers.{i}.pos_ffn", layer["pos_ffn"])
+
+    dec = p["decoder"]
+    emb = np.asarray(dec["trg_embedding"]["embedding"], np.float32).copy()
+    emb[0] = 0.0  # PAD row: see module docstring
+    sd["decoder.trg_embedding.weight"] = _t(emb)
+    sd["decoder.output_linear.weight"] = _t(
+        np.asarray(dec["output_linear"]["kernel"]).T
+    )
+    for i in range(DIMS["num_dec_layers"]):
+        layer = dec[f"layers_{i}"]
+        _copy_mha(sd, f"decoder.layers.{i}.self_attn", layer["self_attn"])
+        _copy_mha(sd, f"decoder.layers.{i}.encoder_attn", layer["encoder_attn"])
+        _copy_ffn(sd, f"decoder.layers.{i}.pos_ffn", layer["pos_ffn"])
+    return sd
+
+
+# --------------------------------------------------------------------------
+# Model pair construction
+# --------------------------------------------------------------------------
+
+def build_pair(ref, is_factorized: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from mtl_tpu.models.transformer import ASRTransformer
+
+    rv, mv = _vocabs(ref)
+    dim_input = (F_BINS // 4) * 128
+
+    model = ASRTransformer(
+        vocab_size=V, feat_extractor="vgg_cnn", dim_input=dim_input,
+        dropout=0.0, src_max_length=SRC_MAX, trg_max_length=TGT_MAX,
+        is_factorized=is_factorized, dtype=jnp.float32, **DIMS,
+    )
+    feats, lengths, targets = _batch()
+    from mtl_tpu.ops.targets import make_teacher_forcing
+
+    seq_in, _ = make_teacher_forcing(jnp.asarray(targets))
+    params = model.init(jax.random.PRNGKey(7), jnp.asarray(feats),
+                        jnp.asarray(lengths), seq_in)
+
+    torch_enc = ref.Encoder(
+        DIMS["num_enc_layers"], DIMS["num_heads"], DIMS["dim_model"],
+        DIMS["dim_key"], DIMS["dim_value"], dim_input, DIMS["dim_inner"],
+        dropout=0.0, src_max_length=SRC_MAX,
+        is_factorized=is_factorized, r=DIMS["r"],
+    )
+    torch_dec = ref.Decoder(
+        rv, DIMS["num_dec_layers"], DIMS["num_heads"], DIMS["dim_emb"],
+        DIMS["dim_model"], DIMS["dim_inner"], DIMS["dim_key"],
+        DIMS["dim_value"], dropout=0.0, trg_max_length=TGT_MAX,
+        is_factorized=is_factorized, r=DIMS["r"],
+    )
+    torch_model = ref.Transformer(torch_enc, torch_dec, rv,
+                                  feat_extractor="vgg_cnn",
+                                  is_factorized=is_factorized, r=DIMS["r"])
+    sd = flax_to_torch_state(params, f_prime=F_BINS // 4, channels=128)
+    missing, unexpected = torch_model.load_state_dict(sd, strict=False)
+    # only buffers (positional-encoding tables) may be absent from the
+    # transplant; any missing *parameter* would silently break parity
+    assert not unexpected, unexpected
+    leftover = [k for k in missing if not k.endswith("positional_encoding.pe")]
+    assert not leftover, leftover
+    torch_model.eval()
+    return model, params, torch_model, rv, mv
+
+
+def _ref_forward(torch_model, feats, lengths, targets):
+    x = torch.from_numpy(feats).permute(0, 2, 1)[:, None]  # B x 1 x F x T
+    with torch.no_grad():
+        pred, gold, hyp = torch_model(
+            x, torch.from_numpy(lengths.astype(np.int64)),
+            torch.from_numpy(targets),
+        )
+    return pred, gold
+
+
+# --------------------------------------------------------------------------
+# Tests
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def pair(ref):
+    return build_pair(ref, is_factorized=True)
+
+
+@pytest.fixture(scope="module")
+def pair_unfact(ref):
+    return build_pair(ref, is_factorized=False)
+
+
+@pytest.mark.parametrize("which", ["factorized", "unfactorized"])
+def test_teacher_forced_logits_parity(pair, pair_unfact, which):
+    import jax.numpy as jnp
+
+    from mtl_tpu.ops.targets import make_teacher_forcing
+
+    model, params, torch_model, rv, mv = (
+        pair if which == "factorized" else pair_unfact
+    )
+    feats, lengths, targets = _batch()
+    pred, gold = _ref_forward(torch_model, feats, lengths, targets)
+
+    seq_in, seq_out = make_teacher_forcing(jnp.asarray(targets))
+    logits = model.apply(params, jnp.asarray(feats), jnp.asarray(lengths),
+                         seq_in)
+
+    np.testing.assert_array_equal(np.asarray(seq_out), gold.numpy())
+    np.testing.assert_allclose(np.asarray(logits), pred.numpy(),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_ce_loss_parity(pair, ref):
+    import jax.numpy as jnp
+
+    from mtl_tpu.ops.targets import make_teacher_forcing
+    from mtl_tpu.train.losses import ce_loss
+
+    model, params, torch_model, rv, mv = pair
+    feats, lengths, targets = _batch()
+    pred, gold = _ref_forward(torch_model, feats, lengths, targets)
+
+    seq_in, seq_out = make_teacher_forcing(jnp.asarray(targets))
+    logits = model.apply(params, jnp.asarray(feats), jnp.asarray(lengths),
+                         seq_in)
+
+    ref_loss, ref_correct = ref.metrics.calculate_metrics(
+        pred, gold.clone(), pad_id=0, smoothing=0.0, loss_type="ce"
+    )
+    loss, correct = ce_loss(logits, seq_out, smoothing=0.0)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-5)
+    assert int(correct) == int(ref_correct)
+
+    # Label smoothing: the reference's smoothed path has a latent shape bug
+    # for B>1 (utils/metrics.py:117 multiplies a B x T mask with a flattened
+    # (B*T,) gold; only broadcastable at B=1), so smoothed parity is checked
+    # per-row — mtl_tpu's vectorized version must equal the reference on
+    # each single-utterance batch.
+    for i in range(pred.shape[0]):
+        ref_loss, _ = ref.metrics.calculate_metrics(
+            pred[i:i + 1], gold[i:i + 1].clone(), pad_id=0, smoothing=0.1,
+            loss_type="ce",
+        )
+        loss, _ = ce_loss(logits[i:i + 1], seq_out[i:i + 1], smoothing=0.1)
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-5,
+                                   err_msg=f"row {i}")
+
+
+def test_greedy_decode_parity(pair):
+    import jax.numpy as jnp
+
+    from mtl_tpu.data.vocab import SOS_ID
+    from mtl_tpu.decode.greedy import greedy_search
+
+    model, params, torch_model, rv, mv = pair
+    feats, lengths, targets = _batch()
+
+    x = torch.from_numpy(feats).permute(0, 2, 1)[:, None]
+    with torch.no_grad():
+        enc = torch_model.encode(x, torch.from_numpy(lengths.astype(np.int64)))
+        args = types.SimpleNamespace(cuda=False)
+        ref_strs = torch_model.decoder.greedy_search(
+            enc, args, start_token=SOS_ID
+        )
+
+    strs = greedy_search(model, params, jnp.asarray(feats),
+                         jnp.asarray(lengths), mv, max_steps=300,
+                         start_token=SOS_ID)
+    assert strs == ref_strs
+
+
+@pytest.mark.parametrize("extractor,channels,conv_indices", [
+    ("vgg_cnn", 128, (0, 2, 5, 7)),
+    ("large_cnn", 64, (0, 2, 5, 7)),
+])
+def test_conv_extractor_parity(ref, extractor, channels, conv_indices):
+    import jax
+    import jax.numpy as jnp
+
+    from mtl_tpu.models.subsampler import FeatureExtractor
+
+    rv, _ = _vocabs(ref)
+    fx = FeatureExtractor(extractor, dtype=jnp.float32)
+    feats = np.random.RandomState(1).randn(2, T_FRAMES, F_BINS).astype(
+        np.float32
+    )
+    params = fx.init(jax.random.PRNGKey(3), jnp.asarray(feats))
+    out = np.asarray(fx.apply(params, jnp.asarray(feats)))  # B,T',F'*C
+
+    # tiny torch Transformer just for its conv stack
+    enc = ref.Encoder(1, 1, 8, 8, 8, out.shape[-1], 8, dropout=0.0)
+    dec = ref.Decoder(rv, 1, 1, 8, 8, 8, 8, 8, dropout=0.0)
+    tm = ref.Transformer(enc, dec, rv, feat_extractor=extractor)
+    sd = {}
+    for flax_i, torch_i in enumerate(conv_indices):
+        leaf = params["params"]["conv"][f"Conv_{flax_i}"]
+        sd[f"conv.{torch_i}.weight"] = _t(
+            np.transpose(np.asarray(leaf["kernel"], np.float32), (3, 2, 0, 1))
+        )
+        sd[f"conv.{torch_i}.bias"] = _t(leaf["bias"])
+    tm.load_state_dict(sd, strict=False)
+    tm.eval()
+    with torch.no_grad():
+        tx = tm.conv(torch.from_numpy(feats).permute(0, 2, 1)[:, None])
+    # torch: B x C x F' x T' channel-major flatten (transformer.py:93)
+    b, c, fp, tp = tx.shape
+    tref = tx.reshape(b, c * fp, tp).permute(0, 2, 1).numpy()
+    # ours is freq-major: apply the fixed permutation to compare
+    perm = _conv_feat_perm(fp, c)
+    np.testing.assert_allclose(out[..., :][:, :, perm], tref,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_ctc_loss_parity(ref):
+    """Loss-level CTC parity on shared random logits
+    (utils/metrics.py:127-148 vs mtl_tpu.train.losses.ctc_loss)."""
+    import jax.numpy as jnp
+
+    from mtl_tpu.train.losses import ctc_loss
+
+    rng = np.random.RandomState(5)
+    b, t, l, c = 3, 12, 5, 9
+    logits = rng.randn(b, t, c).astype(np.float32)
+    in_lens = np.array([12, 10, 7], np.int64)
+    tgt_lens = np.array([5, 3, 2], np.int64)
+    targets = np.zeros((b, l), np.int64)
+    for i, n in enumerate(tgt_lens):
+        targets[i, :n] = rng.randint(4, c, size=n)
+
+    ref_loss = ref.metrics.calculate_loss(
+        torch.from_numpy(logits), torch.from_numpy(targets), pad_id=0,
+        input_lengths=torch.from_numpy(in_lens),
+        target_lengths=torch.from_numpy(tgt_lens), loss_type="ctc",
+    )
+    loss = ctc_loss(jnp.asarray(logits), jnp.asarray(in_lens),
+                    jnp.asarray(targets), jnp.asarray(tgt_lens))
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
