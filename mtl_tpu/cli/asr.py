@@ -122,7 +122,7 @@ def test_main(argv=None):
     assert cfg.continue_from, "--continue-from is required for test"
 
     from ..data.dataset import SpectrogramDataset
-    from ..decode.beam import beam_search
+    from ..decode.beam import beam_search_grouped
     from ..decode.greedy import greedy_search
     from ..train.steps import init_train_state, make_eval_step, prepare_features
     from ..train.optim import make_joint_optimizer
@@ -150,26 +150,34 @@ def test_main(argv=None):
     total_en_cer = total_zh_cer = total_en_char = total_zh_char = 0
     start = time.time()
     k_test = getattr(args, "k_test", None) or cfg.train.k_valid
+    nbest = max(1, cfg.decode.beam_nbest)
     for ds in test_sets:
-        for batch in ds.iter_batches(k_test, shuffle=False):
+        for batch, num_valid in ds.iter_batches(k_test, shuffle=False,
+                                                with_valid_count=True):
             feats, lengths = prepare_features(
                 jax.tree.map(jnp.asarray, batch), saved_cfg
             )
+            nbest_lists = None
             if cfg.decode.beam_search:
-                _, hyps = beam_search(
+                grouped = beam_search_grouped(
                     model, params, feats, lengths, vocab,
                     beam_width=cfg.decode.beam_width,
-                    nbest=1,
+                    nbest=nbest,
                     max_steps=cfg.decode.max_steps,
                     start_token=vocab.SOS_ID,
                     c_weight=cfg.decode.c_weight,
                     lm=lm, lm_rescoring=cfg.decode.lm_rescoring,
                     lm_weight=cfg.decode.lm_weight,
                 )
+                hyps = [g[0][2] if g else "" for g in grouped]
+                nbest_lists = grouped
                 if len(hyps) == 0 or len(hyps[0].strip()) == 0:
+                    # reference fallback-to-greedy rule
+                    # (models/asr/transformer.py:190-197)
                     log_print(">>>>>>> switch to greedy")
                     hyps = greedy_search(model, params, feats, lengths, vocab,
                                          cfg.decode.max_steps, vocab.SOS_ID)
+                    nbest_lists = None
             else:
                 hyps = greedy_search(model, params, feats, lengths, vocab,
                                      cfg.decode.max_steps, vocab.SOS_ID)
@@ -177,7 +185,10 @@ def test_main(argv=None):
                 post_process(vocab.decode_ids(row), vocab.special_token_list)
                 for row in batch["targets"]
             ]
-            for hyp, gold in zip(hyps, golds):
+            # score only the real rows; the final ragged batch is padded with
+            # duplicate utterances to keep shapes static
+            hyps, golds = hyps[:num_valid], golds[:num_valid]
+            for ind, (hyp, gold) in enumerate(zip(hyps, golds)):
                 hyp = post_process(hyp, vocab.special_token_list)
                 cer = calculate_cer(hyp.replace(" ", ""), gold.replace(" ", ""))
                 wer = calculate_wer(hyp, gold)
@@ -192,6 +203,14 @@ def test_main(argv=None):
                 total_zh_char += zh_n
                 log_print(f"PRED: {hyp}")
                 log_print(f"GOLD: {gold}")
+                # n-best reporting (reference appends all n-best per
+                # utterance, modules/decoder.py:286-291; --beam-nbest)
+                if nbest_lists is not None and nbest > 1:
+                    for rank, (score, _, s) in enumerate(nbest_lists[ind]):
+                        log_print(
+                            f"NBEST {rank + 1}: {score:.4f} "
+                            f"{post_process(s, vocab.special_token_list)}"
+                        )
     log_print(
         "TOTAL CER: {:.2f}% WER: {:.2f}% EN CER: {:.2f}% ZH CER: {:.2f}% "
         "TIME: {:.2f}s".format(

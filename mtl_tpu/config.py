@@ -336,6 +336,10 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--device-cer", action="store_true",
                    help="compute train CER on device (no per-iteration host "
                         "string decode)")
+    p.add_argument("--train-cer-every", default=1, type=int,
+                   help="compute host-side train CER every N iterations")
+    p.add_argument("--wave-cache-size", default=2048, type=int,
+                   help="decoded-waveform cache entries per dataset (0 = off)")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--remat-conv", action="store_true")
     p.add_argument("--encoder-type", default="transformer", type=str,
@@ -428,6 +432,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             second_order=args.second_order,
             profile_dir=args.profile_dir,
             device_cer=args.device_cer,
+            train_cer_every=args.train_cer_every,
         ),
         decode=DecodeConfig(
             beam_search=args.beam_search,
@@ -448,6 +453,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             input_type=args.input_type,
             num_workers=args.num_workers,
             batch_size=getattr(args, "batch_size", 8),
+            wave_cache_size=args.wave_cache_size,
         ),
         mesh=MeshConfig(
             data=args.mesh_data, task=args.mesh_task, model=args.mesh_model

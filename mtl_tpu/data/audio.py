@@ -22,26 +22,96 @@ from typing import Optional, Sequence, Tuple
 import numpy as np
 
 
+def _pcm_to_float(raw: bytes, width: int, path: str) -> np.ndarray:
+    if width == 2:
+        return np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    if width == 4:
+        return np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    if width == 1:
+        return (np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+                - 128.0) / 128.0
+    if width == 3:  # 24-bit packed
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        y = (b[:, 0].astype(np.int32) | (b[:, 1].astype(np.int32) << 8)
+             | (b[:, 2].astype(np.int32) << 16))
+        y = np.where(y >= 1 << 23, y - (1 << 24), y)
+        return y.astype(np.float32) / float(1 << 23)
+    raise ValueError(f"unsupported sample width {width} in {path}")
+
+
+def _load_wav_riff(path: str) -> np.ndarray:
+    """Minimal RIFF/WAVE parser for formats the stdlib ``wave`` module
+    rejects: IEEE-float (format 3) and WAVE_FORMAT_EXTENSIBLE (0xFFFE)
+    wrapping PCM or float. Covers the float-WAV exports common in
+    CommonVoice-style corpora without any native dependency."""
+    import struct
+
+    with open(path, "rb") as f:
+        header = f.read(12)
+        if len(header) < 12 or header[:4] != b"RIFF" or header[8:12] != b"WAVE":
+            raise ValueError(
+                f"unsupported audio container in {path!r}: not a RIFF/WAVE "
+                "file (mp3/flac/ogg need an external decoder; convert to wav "
+                "or .npy)"
+            )
+        fmt = None
+        data = None
+        while True:
+            chunk = f.read(8)
+            if len(chunk) < 8:
+                break
+            cid, size = chunk[:4], struct.unpack("<I", chunk[4:])[0]
+            payload = f.read(size + (size & 1))[:size]
+            if cid == b"fmt ":
+                fmt = payload
+            elif cid == b"data":
+                data = payload
+            if fmt is not None and data is not None:
+                break
+    if fmt is None or data is None:
+        raise ValueError(f"malformed WAV (missing fmt/data chunk): {path!r}")
+    (audio_format, n_ch, _rate, _byte_rate, _block, bits) = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if audio_format == 0xFFFE and len(fmt) >= 40:  # EXTENSIBLE: subformat GUID
+        audio_format = struct.unpack("<H", fmt[24:26])[0]
+    if audio_format == 3:  # IEEE float
+        dtype = {32: "<f4", 64: "<f8"}.get(bits)
+        if dtype is None:
+            raise ValueError(f"unsupported float bit depth {bits} in {path!r}")
+        y = np.frombuffer(data, dtype=dtype).astype(np.float32)
+    elif audio_format == 1:  # PCM
+        y = _pcm_to_float(data, bits // 8, path)
+    else:
+        raise ValueError(
+            f"unsupported WAV codec {audio_format:#x} in {path!r} (only PCM "
+            "and IEEE-float are supported; convert compressed audio to wav)"
+        )
+    if n_ch > 1:
+        y = y[: len(y) - len(y) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    return np.ascontiguousarray(y, dtype=np.float32)
+
+
 def load_audio(path: str) -> np.ndarray:
-    """Decode an audio file to float32 mono in [-1, 1]."""
+    """Decode an audio file to float32 mono in [-1, 1].
+
+    Fast path: stdlib ``wave`` for plain PCM WAV; fallback: a minimal RIFF
+    parser for IEEE-float / extensible WAVs; ``.npy`` arrays for fixtures.
+    Non-WAV containers raise a clear error naming the remedy."""
     if path.endswith(".npy"):
         y = np.load(path)
         if y.ndim > 1:
             y = y.mean(axis=-1)
         return y.astype(np.float32)
-    with wave.open(path, "rb") as f:
-        n_ch = f.getnchannels()
-        width = f.getsampwidth()
-        n = f.getnframes()
-        raw = f.readframes(n)
-    if width == 2:
-        y = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
-    elif width == 4:
-        y = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
-    elif width == 1:
-        y = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
-    else:
-        raise ValueError(f"unsupported sample width {width} in {path}")
+    try:
+        with wave.open(path, "rb") as f:
+            n_ch = f.getnchannels()
+            width = f.getsampwidth()
+            n = f.getnframes()
+            raw = f.readframes(n)
+    except wave.Error:
+        return _load_wav_riff(path)
+    y = _pcm_to_float(raw, width, path)
     if n_ch > 1:
         y = y.reshape(-1, n_ch).mean(axis=1)
     return y

@@ -309,23 +309,31 @@ class SpectrogramDataset:
     def iter_batches(
         self, batch_size: int, shuffle: bool = True,
         force_frames: Optional[int] = None, force_tgt: Optional[int] = None,
-        drop_last: bool = False,
+        drop_last: bool = False, with_valid_count: bool = False,
     ):
         """Epoch iterator of static-shape batches (AudioDataLoader +
-        BucketingSampler equivalent, utils/data_loader.py:401-500)."""
+        BucketingSampler equivalent, utils/data_loader.py:401-500).
+
+        The final ragged batch is padded to ``batch_size`` by repeating
+        leading utterances so shapes stay static (the reference instead emits
+        a smaller final batch and would pay an XLA recompile). With
+        ``with_valid_count`` each yield is ``(batch, num_valid)`` so metric
+        consumers can trim the duplicated rows — evaluation uses this to keep
+        CER/WER/loss identical to per-sample scoring."""
         n = len(self)
         order = np.arange(n)
         if shuffle:
             self.rng.shuffle(order)
         for start in range(0, n, batch_size):
             idx = order[start:start + batch_size]
-            if len(idx) < batch_size:
-                if drop_last or len(idx) == 0:
+            num_valid = len(idx)
+            if num_valid < batch_size:
+                if drop_last or num_valid == 0:
                     return
-                # pad the final ragged batch by repeating the first index so
-                # shapes stay static (loss weighting unaffected: duplicated
-                # rows are real utterances; the reference instead emits a
-                # smaller final batch and pays a recompile)
-                idx = np.concatenate([idx, order[: batch_size - len(idx)]])
+                # np.resize tiles cyclically, covering n < batch_size too
+                idx = np.concatenate(
+                    [idx, np.resize(order, batch_size - num_valid)]
+                )
             pairs = [self[int(i)] for i in idx]
-            yield self._collate(pairs, force_frames, force_tgt)
+            batch = self._collate(pairs, force_frames, force_tgt)
+            yield (batch, num_valid) if with_valid_count else batch

@@ -180,6 +180,37 @@ def beam_search(
     returns (nbest id lists, nbest strings) flattened over the batch (the
     reference appends all utterances' nbests into flat lists,
     decoder.py:286-291)."""
+    grouped = beam_search_grouped(
+        model, params, features, input_lengths, vocab, beam_width, nbest,
+        max_steps, start_token, c_weight, lm, lm_rescoring, lm_weight,
+    )
+    batch_ids_nbest, batch_strs_nbest = [], []
+    for hyps in grouped:
+        for final, ids, s in hyps:
+            batch_ids_nbest.append([start_token] + ids)
+            batch_strs_nbest.append(s)
+    return batch_ids_nbest, batch_strs_nbest
+
+
+def beam_search_grouped(
+    model: ASRTransformer,
+    params,
+    features,
+    input_lengths,
+    vocab: Vocab,
+    beam_width: int = 3,
+    nbest: int = 5,
+    max_steps: int = 300,
+    start_token: int = 1,
+    c_weight: float = 0.1,
+    lm=None,
+    lm_rescoring: bool = False,
+    lm_weight: float = 0.1,
+) -> List[List[Tuple[float, List[int], str]]]:
+    """Per-utterance n-best lists [(final_score, ids, string), ...] sorted
+    best-first (the structured form of the reference's flat nbest append,
+    modules/decoder.py:286-291 — test.py needs per-utterance grouping to
+    align hyps with golds when nbest > 1)."""
     tokens, scores, lengths = beam_decode_ids(
         model, params, features, input_lengths, beam_width, max_steps,
         start_token, max(nbest, beam_width),
@@ -189,7 +220,7 @@ def beam_search(
     lengths = np.asarray(lengths)
     b, w, _ = tokens.shape
 
-    batch_ids_nbest, batch_strs_nbest = [], []
+    grouped: List[List[Tuple[float, List[int], str]]] = []
     for x in range(b):
         hyps = []
         for j in range(w):
@@ -207,9 +238,7 @@ def beam_search(
             else:
                 num_words = len(s.split())
                 final = scores[x, j] + math.sqrt(num_words) * c_weight
-            hyps.append((final, ids, s))
+            hyps.append((float(final), ids, s))
         hyps.sort(key=lambda h: h[0], reverse=True)
-        for final, ids, s in hyps[: min(len(hyps), nbest)]:
-            batch_ids_nbest.append([start_token] + ids)
-            batch_strs_nbest.append(s)
-    return batch_ids_nbest, batch_strs_nbest
+        grouped.append(hyps[: min(len(hyps), nbest)])
+    return grouped

@@ -47,7 +47,7 @@ from ..config import Config
 from ..data.vocab import PAD_ID
 from ..ops.frontend import log_spectrogram
 from ..ops.targets import make_teacher_forcing, target_lengths
-from .losses import ce_loss, ctc_loss, masked_loss_guard
+from .losses import ce_loss, ce_row_losses, ctc_loss, masked_loss_guard
 
 
 class TrainState(struct.PyTreeNode):
@@ -257,11 +257,51 @@ def make_meta_step(
 # ---------------------------------------------------------------------------
 
 def make_eval_step(model, cfg: Config) -> Callable:
+    """Eval step; aux additionally carries per-row loss sums / token counts
+    so ragged final batches (padded with duplicate rows by iter_batches) can
+    be scored over valid rows only — matching the reference, whose loaders
+    emit a smaller final batch (utils/data_loader.py:401-477)."""
     forward = make_forward_fn(model, cfg)
+    smoothing = cfg.train.label_smoothing
+    loss_type = cfg.train.loss
 
     @jax.jit
     def step(params, batch):
-        loss, aux = forward(params, batch, None, deterministic=True)
+        feats, input_lengths = prepare_features(batch, cfg)
+        targets = batch["targets"]
+        seq_in, seq_out = make_teacher_forcing(targets)
+        logits = model.apply(params, feats, input_lengths, seq_in,
+                             deterministic=True)
+        if loss_type == "ctc":
+            t = logits.shape[1]
+            in_lens = jnp.minimum(
+                (batch.get("src_percentages",
+                           jnp.ones(targets.shape[0])) * t).astype(jnp.int32),
+                t,
+            )
+            tlens = target_lengths(targets)
+            log_probs = jax.nn.log_softmax(logits, -1)
+            logit_pad = (jnp.arange(t)[None, :] >= in_lens[:, None]).astype(
+                jnp.float32)
+            label_pad = (jnp.arange(targets.shape[1])[None, :]
+                         >= tlens[:, None]).astype(jnp.float32)
+            per_seq = optax.ctc_loss(log_probs, logit_pad, targets, label_pad,
+                                     blank_id=PAD_ID)
+            # torch reduction="mean" parity: per-seq loss / target length
+            row_loss = per_seq / jnp.maximum(tlens, 1)
+            row_tokens = jnp.ones_like(tlens)
+        else:
+            row_loss, row_tokens = ce_row_losses(logits, seq_out, PAD_ID,
+                                                 smoothing)
+        loss = masked_loss_guard(
+            jnp.sum(row_loss) / jnp.maximum(jnp.sum(row_tokens), 1)
+        )
+        aux = {
+            "hyp": jnp.argmax(logits, axis=-1),
+            "gold": seq_out,
+            "row_loss": row_loss,
+            "row_tokens": row_tokens,
+        }
         return loss, aux
 
     return step

@@ -63,25 +63,39 @@ def batch_cer(hyp_ids, gold_ids, vocab: Vocab):
 
 
 class Prefetcher:
-    """Double-buffered background fetch (transient_trainer.py:127-139)."""
+    """Double-buffered background fetch (transient_trainer.py:127-139).
+
+    A fetch exception is captured in the worker thread and re-raised from
+    ``get()`` (after re-arming the next fetch) — never silently replayed as
+    stale data. The trainers' in-loop recovery then drops the batch and
+    continues, mirroring the reference's blanket except-refetch
+    (transient_trainer.py:366-377)."""
 
     def __init__(self, fetch_fn):
         self.fetch_fn = fetch_fn
         self._result = None
+        self._error = None
         self._thread = None
         self.start()
 
     def start(self):
         def run():
-            self._result = self.fetch_fn()
+            try:
+                self._result = self.fetch_fn()
+                self._error = None
+            except BaseException as e:  # re-raised on the consumer thread
+                self._result = None
+                self._error = e
 
         self._thread = threading.Thread(target=run, daemon=True)
         self._thread.start()
 
     def get(self):
         self._thread.join()
-        out = self._result
+        out, err = self._result, self._error
         self.start()
+        if err is not None:
+            raise err
         return out
 
 
@@ -112,23 +126,53 @@ class EarlyStopper:
 
 
 class TrainerBase:
+    # reference-parity in-loop recovery (transient_trainer.py:366-377,
+    # joint_trainer.py:391-405) retries forever; we cap consecutive failures
+    # so a persistent error (bad config, dead filesystem) cannot spin a
+    # multi-day run silently.
+    MAX_CONSECUTIVE_FAILURES = 20
+
     def __init__(self, model, cfg: Config, vocab: Vocab):
         self.model = model
         self.cfg = cfg
         self.vocab = vocab
         self.eval_step = make_eval_step(model, cfg)
+        if (cfg.train.save_every % max(cfg.train.evaluate_every, 1) != 0
+                and cfg.train.evaluate_every % max(cfg.train.save_every, 1)
+                != 0):
+            # reference parity: periodic saves fire only on iterations where
+            # BOTH (it+1) % evaluate_every == 0 and (it+1) % save_every == 0
+            # (transient_trainer.py:311,333) — warn when that never aligns
+            log_print(
+                "WARNING: --save-every {} is not a multiple of "
+                "--evaluate-every {}; periodic checkpoints only happen on "
+                "iterations divisible by both".format(
+                    cfg.train.save_every, cfg.train.evaluate_every
+                )
+            )
 
     def evaluate(self, params, valid_sets: Sequence[SpectrogramDataset],
                  it: int):
-        """No-grad eval over the valid loaders (transient_trainer.py:280-331)."""
+        """No-grad eval over the valid loaders (transient_trainer.py:280-331).
+
+        The final ragged batch is statically padded with duplicate rows;
+        loss/CER here are computed over the ``num_valid`` real rows only, so
+        reported metrics equal per-sample scoring (the reference achieves the
+        same by emitting a smaller final batch)."""
         final_losses, final_cers = [], []
         for ind, ds in enumerate(valid_sets):
             total_loss, total_cer, total_char, n_batches = 0.0, 0, 0, 0
-            for batch in ds.iter_batches(self.cfg.train.k_valid,
-                                         shuffle=False):
-                loss, aux = self.eval_step(params, batch)
-                cer, nchar = batch_cer(aux["hyp"], aux["gold"], self.vocab)
-                total_loss += float(loss)
+            for batch, num_valid in ds.iter_batches(
+                    self.cfg.train.k_valid, shuffle=False,
+                    with_valid_count=True):
+                _, aux = self.eval_step(params, batch)
+                row_loss = np.asarray(aux["row_loss"])[:num_valid]
+                row_tok = np.asarray(aux["row_tokens"])[:num_valid]
+                cer, nchar = batch_cer(np.asarray(aux["hyp"])[:num_valid],
+                                       np.asarray(aux["gold"])[:num_valid],
+                                       self.vocab)
+                total_loss += float(row_loss.sum()) / max(float(row_tok.sum()),
+                                                          1.0)
                 total_cer += cer
                 total_char += max(nchar, 1) if nchar else 1
                 n_batches += 1
@@ -206,6 +250,7 @@ class TransientTrainer(TrainerBase):
         num_tasks = len(train_dataset.ids_list)
 
         profiling = False
+        failures = 0
         it = start_it
         while it < num_it:
             # profiling hook (SURVEY §5: the reference has no tracing at all)
@@ -217,7 +262,18 @@ class TransientTrainer(TrainerBase):
                     jax.profiler.stop_trace()
                     profiling = False
                     log_print(f"PROFILE written to {cfg.train.profile_dir}")
-            support, query = prefetch.get()
+            # In-loop fault recovery (reference parity,
+            # transient_trainer.py:364-377): a host/data error drops the
+            # batch, refetches and continues without advancing `it`.
+            try:
+                support, query = prefetch.get()
+            except Exception as e:
+                failures += 1
+                log_print(f"Error: {e!r}, fetching new data...")
+                if failures >= self.MAX_CONSECUTIVE_FAILURES:
+                    raise
+                continue
+            failures = 0
             start_time = time.time()
             rng, sub = jax.random.split(rng)
             state, m = step_fn(state, support, query, sub)
@@ -412,9 +468,20 @@ class JointTrainer(TrainerBase):
         total_time = 0.0
         beta = 1.0
 
+        failures = 0
         it = start_it
         while it < num_it:
-            support = prefetch.get()
+            # In-loop fault recovery (joint_trainer.py:391-405 parity):
+            # drop the bad batch, refetch, continue.
+            try:
+                support = prefetch.get()
+            except Exception as e:
+                failures += 1
+                log_print(f"Error: {e!r}, fetching new data...")
+                if failures >= self.MAX_CONSECUTIVE_FAILURES:
+                    raise
+                continue
+            failures = 0
             t0 = time.time()
             rng, sub = jax.random.split(rng)
             if use_disc:
@@ -503,11 +570,23 @@ class EpochTrainer(TrainerBase):
 
         for epoch in range(start_epoch, num_epochs):
             total_loss, total_cer, total_char, n = 0.0, 0, 0, 0
+            failures = 0
             for batch in train_dataset.iter_batches(cfg.data.batch_size):
-                rng, sub = jax.random.split(rng)
-                batches = jax.tree.map(lambda x: x[None], batch)
-                state, loss, aux = step_fn(state, batches, sub)
-                cer, nchar = batch_cer(aux["hyp"], aux["gold"], self.vocab)
+                # per-batch skip on error (reference trainer.py:132-171 —
+                # its OOM autosplit is obsolete under static-shape jit, the
+                # skip-and-continue half is kept)
+                try:
+                    rng, sub = jax.random.split(rng)
+                    batches = jax.tree.map(lambda x: x[None], batch)
+                    state, loss, aux = step_fn(state, batches, sub)
+                    cer, nchar = batch_cer(aux["hyp"], aux["gold"], self.vocab)
+                except Exception as e:
+                    failures += 1
+                    log_print(f"Error: {e!r}, skipping batch...")
+                    if failures >= self.MAX_CONSECUTIVE_FAILURES:
+                        raise
+                    continue
+                failures = 0
                 total_loss += float(loss)
                 total_cer += cer
                 total_char += max(nchar, 1)
