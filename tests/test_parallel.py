@@ -118,3 +118,291 @@ def test_sharded_meta_step_matches_single_device():
     p0 = np.concatenate([np.asarray(x).reshape(-1) for x in
                          jax.tree.leaves(state.params)])
     assert float(np.max(np.abs(a_flat - p0))) > 1e-5
+
+
+def _tiny_meta_setup(k, b):
+    """Shared tiny flagship setup for the scale tests."""
+    from mtl_tpu.models.transformer import ASRTransformer
+    from mtl_tpu.train.steps import init_train_state, make_meta_step
+
+    cfg = Config()
+    cfg.model.dtype = "float32"
+    cfg.train.lr = 0.01
+    model = ASRTransformer(
+        vocab_size=16, feat_extractor="vgg_cnn", num_enc_layers=1,
+        num_dec_layers=1, num_heads=2, dim_model=16, dim_key=8, dim_value=8,
+        dim_input=(12 // 4) * 128, dim_inner=16, dim_emb=16, dropout=0.0,
+        src_max_length=64, trg_max_length=32, r=4, dtype=jnp.float32,
+    )
+    opt = optax.adam(1e-3)
+    step = make_meta_step(model, cfg, opt)
+    t, f, l = 8, 12, 5
+    rng = np.random.RandomState(0)
+    support = {
+        "features": rng.randn(k, b, t, f).astype(np.float32),
+        "input_lengths": np.full((k, b), t, np.int32),
+        "targets": rng.randint(4, 16, size=(k, b, l)),
+    }
+    query = {
+        "features": rng.randn(b, t, f).astype(np.float32),
+        "input_lengths": np.full((b,), t, np.int32),
+        "targets": rng.randint(4, 16, size=(b, l)),
+    }
+    ex = jax.tree.map(lambda x: jnp.asarray(x[0]), support)
+    state = init_train_state(model, cfg, opt, jax.random.PRNGKey(0), ex)
+    return cfg, model, step, state, support, query
+
+
+def test_sharded_meta_step_k4_data2_matches_single_device():
+    """Scale evidence beyond the K=2 x data=4 case: K=4 tasks x data=2
+    sharding produces the single-device outer grad (VERDICT r1 #9)."""
+    ds = cpu_devices()
+    cfg, model, step, state, support, query = _tiny_meta_setup(k=4, b=2)
+    drng = jax.random.PRNGKey(1)
+
+    cpu0 = ds[0]
+    state0 = jax.device_put(state, cpu0)
+    s1, m1 = step(
+        state0,
+        jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), cpu0), support),
+        jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), cpu0), query),
+        jax.device_put(drng, cpu0),
+    )
+
+    cfg.mesh = MeshConfig(task=4, data=2, model=1)
+    mesh = make_mesh(cfg, ds)
+    with mesh:
+        state_r = jax.device_put(state, NamedSharding(mesh, P()))
+        sup_s = jax.tree.map(
+            lambda x: jax.device_put(
+                np.asarray(x),
+                NamedSharding(mesh, P(*(("task", "data") + (None,) *
+                                        (np.asarray(x).ndim - 2)))),
+            ),
+            support,
+        )
+        q_s = jax.tree.map(
+            lambda x: jax.device_put(
+                np.asarray(x),
+                NamedSharding(mesh, P(*(("data",) + (None,) *
+                                        (np.asarray(x).ndim - 1)))),
+            ),
+            query,
+        )
+        s2, m2 = step(state_r, sup_s, q_s, drng)
+
+    np.testing.assert_allclose(float(m1["outer_loss"]),
+                               float(m2["outer_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(m1["support_losses"]), np.asarray(m2["support_losses"]),
+        rtol=1e-5,
+    )
+    a = np.concatenate([np.asarray(x).reshape(-1)
+                        for x in jax.tree.leaves(s1.params)])
+    b_ = np.concatenate([np.asarray(x).reshape(-1)
+                         for x in jax.tree.leaves(s2.params)])
+    assert float(np.mean(np.abs(a - b_) < 1e-4)) > 0.999
+
+
+def test_meta_step_outer_grad_lowers_to_all_reduce():
+    """Compiled-HLO guard: the sharded meta step's cross-device gradient
+    reduction must lower to all-reduce collectives, not gather-based
+    reassembly (VERDICT r1 #9)."""
+    ds = cpu_devices()
+    cfg, model, step, state, support, query = _tiny_meta_setup(k=2, b=4)
+    cfg.mesh = MeshConfig(task=2, data=4, model=1)
+    mesh = make_mesh(cfg, ds)
+    with mesh:
+        state_r = jax.device_put(state, NamedSharding(mesh, P()))
+        sup_s = jax.tree.map(
+            lambda x: jax.device_put(
+                np.asarray(x),
+                NamedSharding(mesh, P(*(("task", "data") + (None,) *
+                                        (np.asarray(x).ndim - 2)))),
+            ),
+            support,
+        )
+        q_s = jax.tree.map(
+            lambda x: jax.device_put(
+                np.asarray(x),
+                NamedSharding(mesh, P(*(("data",) + (None,) *
+                                        (np.asarray(x).ndim - 1)))),
+            ),
+            query,
+        )
+        compiled = step.lower(state_r, sup_s, q_s,
+                              jax.random.PRNGKey(1)).compile()
+        hlo = compiled.as_text()
+
+    import re
+
+    # 1) the outer gradients must be reduced as param-shaped all-reduce
+    #    tuples (XLA groups grad leaves into tuple all-reduces) — look for
+    #    signature kernel shapes inside all-reduce op lines
+    ar_lines = [l for l in hlo.splitlines()
+                if re.search(r"= .*all-reduce\(", l)]
+    assert ar_lines, "no all-reduce in the sharded meta step"
+    ar_text = "\n".join(ar_lines)
+    for sig in ("3,3,64,64", "3,3,64,128", "16,384"):  # conv + input kernels
+        assert sig in ar_text, (
+            f"param grad shape [{sig}] not covered by any all-reduce:\n"
+            + ar_text[:2000]
+        )
+
+    # 2) all-gather traffic must stay bounded (XLA legitimately gathers some
+    #    conv activations while computing weight grads, ~6 MB at this shape;
+    #    a gather-based gradient reassembly would blow far past this budget)
+    def collective_bytes(kind):
+        total = 0
+        itemsize = {"f32": 4, "s32": 4, "u32": 4, "bf16": 2, "f16": 2,
+                    "pred": 1, "s8": 1, "u8": 1, "f64": 8, "s64": 8}
+        for m in re.finditer(r"= (\w+)\[([\d,]*)\][^ ]* " + kind, hlo):
+            size = 1
+            for d in m.group(2).split(","):
+                if d:
+                    size *= int(d)
+            total += size * itemsize.get(m.group(1), 4)
+        return total
+
+    ag_bytes = collective_bytes("all-gather")
+    assert ag_bytes < 16 * 1024 * 1024, (
+        f"all-gather traffic exploded: {ag_bytes/1e6:.1f} MB"
+    )
+
+
+# --------------------------------------------------------------------------
+# Tensor parallelism (in-suite; VERDICT r1 #8)
+# --------------------------------------------------------------------------
+
+def test_tp_conformer_fwd_bwd_matches_replicated():
+    """TP-sharded Conformer fwd+bwd == replicated single-device values
+    (ports the dryrun's phase 2 into the suite)."""
+    ds = cpu_devices()
+    from jax.sharding import Mesh
+
+    from mtl_tpu.models.conformer import ConformerEncoder
+    from mtl_tpu.parallel.sharding import shard_params_tp
+
+    enc = ConformerEncoder(num_layers=2, num_heads=2, dim_model=32,
+                           dim_input=24, dropout=0.0, dtype=jnp.float32)
+    x = np.random.RandomState(0).randn(8, 12, 24).astype(np.float32)
+    lengths = np.full((8,), 12, np.int32)
+    params = enc.init(jax.random.PRNGKey(0), jnp.asarray(x[:2]),
+                      jnp.asarray(lengths[:2]))
+
+    def loss_fn(p, xb, lb):
+        out = enc.apply(p, xb, lb)
+        return jnp.mean(out.astype(jnp.float32) ** 2)
+
+    # replicated single-device reference
+    cpu0 = ds[0]
+    l_ref, g_ref = jax.jit(jax.value_and_grad(loss_fn))(
+        jax.device_put(params, cpu0), jax.device_put(jnp.asarray(x), cpu0),
+        jax.device_put(jnp.asarray(lengths), cpu0),
+    )
+
+    mesh = Mesh(np.asarray(ds[:8]).reshape(4, 2), ("data", "model"))
+    with mesh:
+        tp_params = shard_params_tp(params, mesh)
+        xb = jax.device_put(x, NamedSharding(mesh, P("data", None, None)))
+        lb = jax.device_put(lengths, NamedSharding(mesh, P("data")))
+        l_tp, g_tp = jax.jit(jax.value_and_grad(loss_fn))(tp_params, xb, lb)
+
+    np.testing.assert_allclose(float(l_tp), float(l_ref), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_tp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_tp_flagship_transformer_fwd_bwd_matches_replicated():
+    """TP over the flagship ASRTransformer's factorized projections."""
+    ds = cpu_devices()
+    from jax.sharding import Mesh
+
+    from mtl_tpu.ops.targets import make_teacher_forcing
+    from mtl_tpu.parallel.sharding import shard_params_tp
+    from mtl_tpu.models.transformer import ASRTransformer
+    from mtl_tpu.train.losses import ce_loss
+
+    model = ASRTransformer(
+        vocab_size=16, feat_extractor="vgg_cnn", num_enc_layers=1,
+        num_dec_layers=1, num_heads=2, dim_model=16, dim_key=8, dim_value=8,
+        dim_input=(12 // 4) * 128, dim_inner=16, dim_emb=16, dropout=0.0,
+        src_max_length=64, trg_max_length=32, r=4, dtype=jnp.float32,
+    )
+    rng = np.random.RandomState(1)
+    feats = rng.randn(4, 8, 12).astype(np.float32)
+    lengths = np.full((4,), 8, np.int32)
+    targets = rng.randint(4, 16, size=(4, 5))
+    seq_in, seq_out = make_teacher_forcing(jnp.asarray(targets))
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(feats),
+                        jnp.asarray(lengths), seq_in)
+
+    def loss_fn(p, f, ln, si, so):
+        logits = model.apply(p, f, ln, si)
+        return ce_loss(logits, so)[0]
+
+    cpu0 = ds[0]
+    args0 = [jax.device_put(jnp.asarray(a), cpu0)
+             for a in (feats, lengths, seq_in, seq_out)]
+    l_ref, g_ref = jax.jit(jax.value_and_grad(loss_fn))(
+        jax.device_put(params, cpu0), *args0)
+
+    mesh = Mesh(np.asarray(ds[:8]).reshape(4, 2), ("data", "model"))
+    with mesh:
+        tp_params = shard_params_tp(params, mesh)
+        f_s = jax.device_put(feats, NamedSharding(mesh, P("data", None, None)))
+        l_s = jax.device_put(lengths, NamedSharding(mesh, P("data")))
+        si_s = jax.device_put(np.asarray(seq_in),
+                              NamedSharding(mesh, P("data", None)))
+        so_s = jax.device_put(np.asarray(seq_out),
+                              NamedSharding(mesh, P("data", None)))
+        l_tp, g_tp = jax.jit(jax.value_and_grad(loss_fn))(
+            tp_params, f_s, l_s, si_s, so_s)
+
+    np.testing.assert_allclose(float(l_tp), float(l_ref), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_tp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_tp_spec_coverage_flagship():
+    """Every >=2-D kernel in the flagship model either matches a TP rule or
+    is on the intentional-replication allowlist — no silent fall-through."""
+    from mtl_tpu.models.transformer import ASRTransformer
+    from mtl_tpu.parallel.sharding import _spec_for
+
+    model = ASRTransformer(
+        vocab_size=16, feat_extractor="vgg_cnn", num_enc_layers=1,
+        num_dec_layers=1, num_heads=2, dim_model=16, dim_key=8, dim_value=8,
+        dim_input=(12 // 4) * 128, dim_inner=16, dim_emb=16, dropout=0.0,
+        src_max_length=64, trg_max_length=32, r=4, dtype=jnp.float32,
+    )
+    import re
+
+    from mtl_tpu.ops.targets import make_teacher_forcing
+
+    rng = np.random.RandomState(1)
+    feats = jnp.asarray(rng.randn(2, 8, 12).astype(np.float32))
+    lengths = jnp.full((2,), 8, jnp.int32)
+    seq_in, _ = make_teacher_forcing(
+        jnp.asarray(rng.randint(4, 16, size=(2, 5))))
+    params = model.init(jax.random.PRNGKey(0), feats, lengths, seq_in)
+
+    # intentionally replicated >=2-D params: conv kernels (spatial), the
+    # embedding table, and the encoder input projection (small fan-in)
+    ALLOW_REPLICATED = re.compile(
+        r"(^|/)conv/|trg_embedding|input_linear"
+    )
+
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    uncovered = []
+    for kp, leaf in flat:
+        if leaf.ndim < 2:
+            continue
+        path = "/".join(getattr(k, "key", getattr(k, "name", str(k)))
+                        for k in kp)
+        spec = _spec_for(path, leaf.ndim)
+        if spec == P() and not ALLOW_REPLICATED.search(path):
+            uncovered.append(path)
+    assert not uncovered, f"kernels with no TP rule or allowlist: {uncovered}"
