@@ -78,6 +78,9 @@ class ModelConfig:
     remat_conv: bool = False  # recompute conv activations in backward:
     # the flagship step is HBM-bound on full-resolution vgg activations
     # (BASELINE.md roofline) — remat trades cheap FLOPs for that traffic
+    fused_vgg: bool | None = None  # channel-leading Pallas VGG kernels
+    # (opt-in --fused-vgg; measured slower end-to-end than XLA convs on v5e,
+    # kept for the decode-only path and further kernel iteration)
 
     def computed_dim_input(self, num_freq: int, feat: str = "spectrogram") -> int:
         """Encoder input width after the conv front-end.
@@ -342,6 +345,11 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
                    help="decoded-waveform cache entries per dataset (0 = off)")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--remat-conv", action="store_true")
+    p.add_argument("--fused-vgg", dest="fused_vgg", default=None,
+                   action="store_true",
+                   help="fused channel-leading Pallas VGG subsampler "
+                        "(experimental, TPU only; default off)")
+    p.add_argument("--no-fused-vgg", dest="fused_vgg", action="store_false")
     p.add_argument("--encoder-type", default="transformer", type=str,
                    help="transformer (reference parity) | conformer (stretch)")
     p.add_argument("--second-order", action="store_true")
@@ -400,6 +408,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             dtype=args.dtype,
             remat=args.remat,
             remat_conv=args.remat_conv,
+            fused_vgg=args.fused_vgg,
             encoder_type=args.encoder_type,
         ),
         train=TrainConfig(

@@ -49,12 +49,44 @@ def output_channels(feat_extractor: str) -> int:
     return {"vgg_cnn": 128, "large_cnn": 64, "emb_cnn": 32}.get(feat_extractor, 1)
 
 
+class _ConvParams(nn.Module):
+    """Declares ``kernel``/``bias`` exactly like nn.Conv does (same names,
+    shapes, inits) without building the conv — the fused-Pallas path reads
+    them directly, so checkpoints are interchangeable with the XLA path."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", KERNEL_INIT,
+                            (3, 3, self.in_features, self.features),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return kernel, bias
+
+
 class _VGGBlockStack(nn.Module):
     channels: tuple
     dtype: jnp.dtype = jnp.bfloat16
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.fused:
+            # x: [B, T, F] -> [B, T//4, (F//4)*C2] via the channel-leading
+            # Pallas kernels (ops/vgg_pallas.py); param tree matches the
+            # nn.Conv path (Conv_0..Conv_3).
+            from ..ops.vgg_pallas import fused_vgg_stack, vgg_stack_reference
+
+            ws, c_in = [], 1
+            for idx, ch in enumerate(c for c in self.channels for _ in "xx"):
+                ws.extend(_ConvParams(ch, c_in, name=f"Conv_{idx}")())
+                c_in = ch
+            if x.shape[1] % 8:  # kernel needs 8|T; same params either way
+                return vgg_stack_reference(x, *ws)
+            return fused_vgg_stack(x, *ws)
         for ch in self.channels:
             x = nn.Conv(ch, (3, 3), padding="SAME", kernel_init=KERNEL_INIT,
                         dtype=self.dtype)(x)
@@ -87,12 +119,16 @@ class FeatureExtractor(nn.Module):
 
     feat_extractor: str = "vgg_cnn"
     dtype: jnp.dtype = jnp.bfloat16
+    fused: bool = False  # channel-leading Pallas VGG kernels (TPU)
 
     def setup(self):
+        fused = self.fused and self.feat_extractor in ("vgg_cnn", "large_cnn")
         if self.feat_extractor == "vgg_cnn":
-            self.conv = _VGGBlockStack((64, 128), dtype=self.dtype)
+            self.conv = _VGGBlockStack((64, 128), dtype=self.dtype,
+                                       fused=fused)
         elif self.feat_extractor == "large_cnn":
-            self.conv = _VGGBlockStack((32, 64), dtype=self.dtype)
+            self.conv = _VGGBlockStack((32, 64), dtype=self.dtype,
+                                       fused=fused)
         elif self.feat_extractor == "emb_cnn":
             self.conv = _EmbCNN(dtype=self.dtype)
         elif self.feat_extractor in ("none", None, ""):
@@ -104,6 +140,10 @@ class FeatureExtractor(nn.Module):
         """features: [B, T, F] -> [B, T', F'*C]."""
         if self.conv is None:
             return features
+        if getattr(self.conv, "fused", False):
+            # fused path consumes [B, T, F] directly (channel-leading
+            # kernels; no NHWC transpose) and returns [B, T', F'*C].
+            return self.conv(features)
         # NHWC with H=freq, W=time, C=1 (reference NCHW geometry).
         x = jnp.transpose(features, (0, 2, 1))[..., None].astype(self.dtype)
         if self.feat_extractor == "emb_cnn":

@@ -44,13 +44,15 @@ class ASRTransformer(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
     remat_conv: bool = False
+    fused_vgg: bool = False  # channel-leading Pallas VGG kernels (TPU)
     encoder_type: str = "transformer"  # transformer | conformer
 
     def setup(self):
         conv_cls = FeatureExtractor
         if self.remat_conv:
             conv_cls = nn.remat(FeatureExtractor)
-        self.conv = conv_cls(self.feat_extractor, dtype=self.dtype)
+        self.conv = conv_cls(self.feat_extractor, dtype=self.dtype,
+                             fused=self.fused_vgg)
         if self.encoder_type == "conformer":
             from .conformer import ConformerEncoder
 
@@ -161,5 +163,11 @@ def build_model(cfg: Config, vocab_size: int) -> ASRTransformer:
         dtype=jnp.bfloat16 if m.dtype == "bfloat16" else jnp.float32,
         remat=m.remat,
         remat_conv=m.remat_conv,
+        # fused VGG is opt-in (--fused-vgg): the channel-leading kernels
+        # compile and match the XLA path numerically, but measured end-to-end
+        # they lose to XLA's conv on this hardware (BASELINE.md round-2
+        # notes), so the default stays off. custom_vjp also cannot nest under
+        # grad-of-grad, so --second-order forces the XLA path.
+        fused_vgg=bool(m.fused_vgg) and not cfg.train.second_order,
         encoder_type=m.encoder_type,
     )

@@ -1,173 +1,302 @@
-"""Fused Pallas TPU kernels for a VGG block: conv3x3 -> relu -> conv3x3 ->
-relu -> maxpool2x2.
+"""Fused Pallas TPU kernels for the VGG blocks: conv3x3 -> relu -> conv3x3 ->
+relu -> maxpool2x2 (reference models/asr/transformer.py:47-59).
 
-STATUS (round 1): correctness-verified in interpreter mode (tests/
-test_vgg_pallas.py) and kept as groundwork, NOT yet wired into the model.
-On this image's Mosaic, HBM->VMEM DMA slices require the minor (lane) dim to
-be a 128-multiple — the C_in=1 (block 1) and C=64 (block 2) inputs that
-carry ~80% of the flagship step's HBM traffic are both rejected
-("Slice shape along dimension 3 must be aligned to tiling (128)"), and
-padding channels to 128 erases the traffic saving. Also hit and worked
-around: sublane-dim slices need 8/16-alignment (junk-padded windows),
-reshape merges need tiling-aligned minor-2 dims (F padded to 16-multiples),
-and 2D->3D minor-dim inserts that move lanes are unsupported (f-lane
-broadcast conv rewritten as channel-lane matmuls). Round-2 options: a newer
-Mosaic, double-buffered 128-wide channel-padded tiles with different
-economics, or neighbor-block in_specs instead of manual DMA.
+STATUS (round 2): compiles and runs on real TPU. The round-1 T-major,
+channel-minor design was blocked by two Mosaic limits on this image —
+HBM->VMEM DMA requires the minor (lane) dim to be a 128-multiple (C=64
+rejected), and 2D->3D minor-dim inserts are unsupported (killed the C_in=1
+broadcast conv). This rewrite uses a **channel-leading layout** that
+satisfies every constraint:
 
-Why: the flagship meta step is HBM-bound (BASELINE.md roofline) and ~80% of
-its 57.6 GB of traffic is the conv activations written/re-read at full
-161x800 spectrogram resolution. These kernels keep the whole block's
-intermediates in VMEM per (batch, time-tile) grid step: HBM sees only the
-block input read and the pooled output write — intermediate activations
-never round-trip.
+    activations [B, C, T, LANE]   C untiled, T sublanes, F on 128-mult lanes
 
-Layout is **T-major**: block-1 input is [B, T, F] (2-D per sample, F in
-lanes) and block-2 input/outputs are [B, T, F, C] (C in lanes). T lives on
-untiled/sublane dims so the overlapping halo windows each tile DMAs are
-legal Mosaic slices (lane-dim slices must be 128-aligned, which killed an
-F-major design with C_in=1). T-major also matches what the encoder wants, so
-the fused path drops the subsampler's transpose entirely.
+* DMA slices touch only untiled/sublane dims at 8-aligned offsets with the
+  lane dim always full and 128-aligned.
+* conv f-shifts are lane `pltpu.roll`s (non-negative shifts only) with the
+  wrap-around landing in zeroed junk lanes; t-shifts are plain sublane
+  slices (verified legal at unaligned offsets).
+* block-1 conv1 (C_in=1) is one K=9 MXU matmul over 9 stacked shifted
+  slabs — no minor-dim broadcast needed.
+* block-2 convs are 9 channel matmuls  W_k [C_out, C_in] @ slab_k
+  [C_in, T*LANE]  (sublane x lane merges are legal when LANE % 128 == 0).
+* 2x2 maxpool: T-pool by transposing C<->T and splitting the new leading
+  dim (Mosaic cannot reshape-split a sublane dim); F-pool as
+  max(z, roll(z, -1)) followed by an even-column 0/1 selection matmul
+  (strided lane gathers are unsupported).
 
-Math parity: conv = 9 shifted matmuls (or broadcast outer-products for
-C_in=1), SAME zero padding, bias, relu, VALID 2x2/stride-2 floor pool —
+Why: the flagship meta step is HBM-bound (BASELINE.md roofline) and the
+dominant traffic is the conv activations written/re-read at full 161x800
+spectrogram resolution. These kernels keep a whole block's intermediates in
+VMEM per (batch, time-tile) grid step: HBM sees only the block input read
+and the pooled output write.
+
+Math parity: SAME zero padding, bias, relu, VALID 2x2/stride-2 floor pool —
 flax nn.Conv + nn.max_pool semantics (torch Conv2d/MaxPool2d parity).
+Weights arrive as flax HWIO [3(f), 3(t), C_in, C_out].
 
-Weights arrive as [9, C_in, C] (flattened HWIO, H=f-offset major).
+Column convention: inside a block, extended activations store f at column
+f+1 (column 0 is the SAME-conv left halo); block inputs/outputs store f at
+column f. Junk lanes are kept at zero so roll wrap-around reads zeros.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-HALO = 2  # two fused 3x3 convs
+# Set True to run the kernels in interpreter mode (tests on non-TPU hosts).
+INTERPRET = False
 
 
-def _mask_ext(y1, ti, t_tile, t_img, f_img):
-    """Zero y1_ext positions outside the image (incl. alignment junk
-    columns): SAME conv2 must see zeros, not relu(b1). y1_ext[j, i] is image
-    (t = ti*t_tile + j - 1, f = i - 1)."""
-    shape2 = y1.shape[:2]
+def _round(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
+
+
+def _pick_t_tile(t_img: int, cap: int = 32) -> int:
+    """Largest multiple-of-8 tile <= cap dividing t_img (VMEM-bounded)."""
+    tile = cap
+    while tile >= 8:
+        if t_img % tile == 0:
+            return tile
+        tile -= 8
+    raise ValueError(f"T={t_img} not tileable (need a multiple of 8)")
+
+
+def _edge_mask(shape2, base, t_img, f_img):
+    """[rows, lanes] 0/1 mask: row j is real iff 0 <= base+j-1 < t_img,
+    col i is real iff 1 <= i <= f_img (col = f+1 convention)."""
     tj = jax.lax.broadcasted_iota(jnp.int32, shape2, 0)
     fi = jax.lax.broadcasted_iota(jnp.int32, shape2, 1)
-    t_global = tj + ti * t_tile - 1
-    inside = ((fi >= 1) & (fi <= f_img)
-              & (t_global >= 0) & (t_global < t_img))
-    return y1 * inside.astype(jnp.float32)[:, :, None]
+    t_g = tj + base - 1
+    return ((t_g >= 0) & (t_g < t_img)
+            & (fi >= 1) & (fi <= f_img)).astype(jnp.float32)
 
 
-def _pool_write(z2, out_ref, t_tile, f_img, dtype):
-    """relu'd z2 [t_tile, F, C] -> 2x2 floor pool -> out_ref[0]."""
-    f_p = f_img // 2
-    t_p = t_tile // 2
-    y = z2[:, : f_p * 2].reshape(t_p, 2, f_p, 2, z2.shape[-1])
-    out_ref[0] = jnp.max(jnp.max(y, axis=3), axis=1).astype(dtype)
+def _select_even(lane: int, lane_out: int, n_pool: int):
+    """0/1 [lane, lane_out] matmul operand: out[:, j] = in[:, 2j], j<n_pool."""
+    li = jax.lax.broadcasted_iota(jnp.int32, (lane, lane_out), 0)
+    lj = jax.lax.broadcasted_iota(jnp.int32, (lane, lane_out), 1)
+    return ((li == 2 * lj) & (lj < n_pool)).astype(jnp.float32)
 
 
-def _round16(v: int) -> int:
-    return ((v + 15) // 16) * 16
+def _relu_pool_write(z2m, b2_ref, c, t_tile, lane, f_img, o_ref):
+    """z2m [C, t_tile*LANE] f32 (cols = f) -> +bias, relu, 2x2 floor pool ->
+    o_ref[0] [C, t_tile//2, LANE_OUT] (junk cols forced to zero by the
+    selection matmul)."""
+    z = jnp.maximum(z2m.reshape(c, t_tile, lane) + b2_ref[:], 0.0)
+    # T-pool: transpose C<->T, split the (now leading) T dim, max, restore.
+    zt = jnp.transpose(z, (1, 0, 2))
+    zt = jnp.max(zt.reshape(t_tile // 2, 2, c, lane), axis=1)
+    z = jnp.transpose(zt, (1, 0, 2))  # [C, t2, LANE] f32 (32-bit rolls)
+    # F-pool: adjacent max then even-column selection on the MXU.
+    m = jnp.maximum(z, pltpu.roll(z, lane - 1, 2))
+    t2 = t_tile // 2
+    lane_out = o_ref.shape[-1]
+    sel = _select_even(lane, lane_out, f_img // 2)
+    out = jnp.dot(m.reshape(c * t2, lane), sel,
+                  preferred_element_type=jnp.float32)
+    o_ref[0] = out.reshape(c, t2, lane_out).astype(o_ref.dtype)
 
 
-def _fwd_kernel_cin1(f_img: int, t_img: int, t_tile: int,
-                     x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
-                     xbuf, sem):
-    """C_in == 1 (vgg block 1). x_hbm: [B, T+8, XP_F] f32 (globally
-    zero-padded by 2, junk right-padding for 8-aligned windows and 16-aligned
-    reshape merges — Mosaic can only merge tiling-aligned dims).
-    conv1 is 9 broadcast outer-products (no K=1 matmuls)."""
-    bi = pl.program_id(0)
+def _b1_kernel(f_img, t_img, t_tile, lane,
+               x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+    """VGG block with C_in == 1. x_ref: one halo window [1, 1, t_tile+8,
+    LANE] f32 (windows pre-gathered by XLA so the blocks are standard
+    non-overlapping VMEM tiles — pipelined, and vmap-batchable): row r =
+    x[t = base + r - 2], col i = x[f = i-1]. w1 [C, 9] (k = dt*3+df),
+    w2 [9, C, C] (w2[k] = [C_out, C_in])."""
     ti = pl.program_id(1)
-    cp = pltpu.make_async_copy(
-        x_hbm.at[bi, pl.ds(ti * t_tile, t_tile + 8), :], xbuf, sem
-    )
-    cp.start()
-    cp.wait()
-    x = xbuf[:]  # [t_tile+8, XP_F]
+    base = ti * t_tile
+    x = x_ref[0, 0]  # [t_tile+8, LANE]
+    te = t_tile + 8          # extended rows (8-mult for legal merges)
+    c = w1_ref.shape[0]
 
-    f_z2 = _round16(f_img)           # merged-F width for the conv2 matmul
-    f_y1 = f_z2 + 2                  # y1 extended width
-    c = w1_ref.shape[-1]
-    y1 = jnp.zeros((t_tile + 2, f_y1, c), jnp.float32)
-    for df in range(3):
-        for dt in range(3):
-            slab = x[dt:dt + t_tile + 2, df:df + f_y1]
-            y1 = y1 + (slab[:, :, None].astype(jnp.float32)
-                       * w1_ref[df * 3 + dt, 0][None, None, :])
-    y1 = jnp.maximum(y1 + b1_ref[0].reshape(1, 1, -1), 0.0)
-    y1 = _mask_ext(y1, ti, t_tile, t_img, f_img).astype(jnp.bfloat16)
+    # conv1: slab_{dt,df}[j, i] = x[t=base+j+dt-2, f=i+df-2] = rolled xbuf.
+    slabs = []
+    for dt in range(3):
+        xs = x if dt == 0 else jnp.concatenate(
+            [x[dt:], jnp.zeros((dt, lane), x.dtype)], axis=0)
+        for df in range(3):
+            slabs.append(pltpu.roll(xs, (1 - df) % lane, 1))
+    xs9 = jnp.stack(slabs, axis=0).reshape(9, te * lane)
+    y1 = jnp.dot(w1_ref[:], xs9, preferred_element_type=jnp.float32)
+    y1 = y1.reshape(c, te, lane) + b1_ref[:]
+    y1 = jnp.maximum(y1, 0.0)
+    # SAME conv2 must see zeros outside the image (relu(bias) != 0 there).
+    # f32 throughout: Mosaic's lane rotate is 32-bit only; the MXU reads
+    # f32 operands through its bf16 path at default precision anyway.
+    y1 = y1 * _edge_mask((te, lane), base, t_img, f_img)[None]
 
-    z2 = jnp.zeros((t_tile * f_z2, c), jnp.float32)
-    for df in range(3):
-        for dt in range(3):
-            slab = y1[dt:dt + t_tile, df:df + f_z2, :].reshape(
-                t_tile * f_z2, c
-            )
-            z2 = z2 + jnp.dot(slab, w2_ref[df * 3 + dt].astype(jnp.bfloat16),
+    # conv2: z2[c, j2, i] at t=base+j2, f=i; input col = i + df.
+    z2 = jnp.zeros((c, t_tile * lane), jnp.float32)
+    for dt in range(3):
+        ys = y1[:, dt:dt + t_tile, :]
+        for df in range(3):
+            slab = ys if df == 0 else pltpu.roll(ys, (lane - df) % lane, 2)
+            z2 = z2 + jnp.dot(w2_ref[dt * 3 + df],
+                              slab.reshape(c, t_tile * lane),
                               preferred_element_type=jnp.float32)
-    z2 = jnp.maximum(
-        z2.reshape(t_tile, f_z2, c) + b2_ref[0].reshape(1, 1, -1), 0.0
-    )
-    _pool_write(z2, out_ref, t_tile, f_img, out_ref.dtype)
+    _relu_pool_write(z2, b2_ref, c, t_tile, lane, f_img, o_ref)
 
 
-def _fwd_kernel_cinN(f_img: int, t_img: int, t_tile: int,
-                     x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
-                     xbuf, sem):
-    """General C_in (vgg block 2). x_hbm: [B, T+4, F+4, C_in] bf16; T on an
-    untiled dim, so the halo window slice has no alignment constraints."""
-    bi = pl.program_id(0)
+def _b2_kernel(f_img, t_img, t_tile, lane, c_in,
+               y_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+    """VGG block with C_in > 1. y_ref: one halo window [1, 1, C_in,
+    t_tile+8, LANE] bf16 (row r = t = base + r - 2, col i = f = i, junk
+    cols zero). w1/w2 [9, C_out, C_in]."""
     ti = pl.program_id(1)
-    cp = pltpu.make_async_copy(
-        x_hbm.at[bi, pl.ds(ti * t_tile, t_tile + 4), :, :], xbuf, sem
-    )
-    cp.start()
-    cp.wait()
-    x = xbuf[:]  # [t_tile+4, F+4, C_in]
+    base = ti * t_tile
+    y = y_ref[0, 0].astype(jnp.float32)  # [C_in, te, LANE] (32-bit rolls)
+    te = t_tile + 8
+    c = w1_ref.shape[1]
 
-    c_in = x.shape[-1]
-    c = w1_ref.shape[-1]
-    f_z2 = _round16(f_img)
-    f_y1 = f_z2 + 2
-    y1 = jnp.zeros(((t_tile + 2) * f_y1, c), jnp.float32)
-    for df in range(3):
-        for dt in range(3):
-            slab = x[dt:dt + t_tile + 2, df:df + f_y1, :].reshape(
-                (t_tile + 2) * f_y1, c_in
-            )
-            y1 = y1 + jnp.dot(slab, w1_ref[df * 3 + dt].astype(x.dtype),
+    # conv1: y1[c, j, i] at t=base+j-1, f=i-1; input col = i + df - 2.
+    y1m = jnp.zeros((c, te * lane), jnp.float32)
+    for dt in range(3):
+        ys = y if dt == 0 else jnp.concatenate(
+            [y[:, dt:, :], jnp.zeros((c_in, dt, lane), y.dtype)], axis=1)
+        for df in range(3):
+            slab = ys if df == 2 else pltpu.roll(ys, 2 - df, 2)
+            y1m = y1m + jnp.dot(w1_ref[dt * 3 + df],
+                                slab.reshape(c_in, te * lane),
+                                preferred_element_type=jnp.float32)
+    y1 = y1m.reshape(c, te, lane) + b1_ref[:]
+    y1 = jnp.maximum(y1, 0.0)
+    y1 = y1 * _edge_mask((te, lane), base, t_img, f_img)[None]
+
+    z2 = jnp.zeros((c, t_tile * lane), jnp.float32)
+    for dt in range(3):
+        ys = y1[:, dt:dt + t_tile, :]
+        for df in range(3):
+            slab = ys if df == 0 else pltpu.roll(ys, (lane - df) % lane, 2)
+            z2 = z2 + jnp.dot(w2_ref[dt * 3 + df],
+                              slab.reshape(c, t_tile * lane),
                               preferred_element_type=jnp.float32)
-    y1 = y1.reshape(t_tile + 2, f_y1, c)
-    y1 = jnp.maximum(y1 + b1_ref[0].reshape(1, 1, -1), 0.0)
-    y1 = _mask_ext(y1, ti, t_tile, t_img, f_img).astype(jnp.bfloat16)
-
-    z2 = jnp.zeros((t_tile * f_z2, c), jnp.float32)
-    for df in range(3):
-        for dt in range(3):
-            slab = y1[dt:dt + t_tile, df:df + f_z2, :].reshape(
-                t_tile * f_z2, c
-            )
-            z2 = z2 + jnp.dot(slab, w2_ref[df * 3 + dt].astype(jnp.bfloat16),
-                              preferred_element_type=jnp.float32)
-    z2 = jnp.maximum(
-        z2.reshape(t_tile, f_z2, c) + b2_ref[0].reshape(1, 1, -1), 0.0
-    )
-    _pool_write(z2, out_ref, t_tile, f_img, out_ref.dtype)
+    _relu_pool_write(z2, b2_ref, c, t_tile, lane, f_img, o_ref)
 
 
-def _pick_t_tile(t_img: int, c_out: int) -> int:
-    tile = 128 if c_out <= 64 else 64
-    while t_img % tile != 0 or tile % 8 != 0:
-        tile //= 2
-        if tile < 8:
-            raise ValueError(f"T={t_img} not tileable (need multiple of 8)")
-    return tile
+def _w_cl(w):
+    """flax HWIO [3(f), 3(t), C_in, C_out] -> [9, C_out, C_in], k=dt*3+df."""
+    return jnp.transpose(w, (1, 0, 3, 2)).reshape(9, w.shape[3], w.shape[2])
+
+
+def _out_lane(f_img: int) -> int:
+    # pooled width + 2 so the next block's rolls wrap into zeroed junk
+    return _round(f_img // 2 + 2, 128)
+
+
+def vgg_block1_cl(x, w1, b1, w2, b2, out_dtype=jnp.bfloat16,
+                  interpret=None):
+    """Fused block, C_in == 1, channel-leading I/O.
+
+    x [B, T, F] -> [B, C, T//2, LANE_OUT] (col = pooled f, junk cols zero).
+    """
+    interpret = INTERPRET if interpret is None else interpret
+    b, t_img, f_img = x.shape
+    c = w1.shape[-1]
+    t_tile = _pick_t_tile(t_img)
+    lane = _round(f_img + 2, 128)
+    lane_out = _out_lane(f_img)
+
+    xp = jnp.pad(x.astype(jnp.float32),
+                 ((0, 0), (2, 6), (1, lane - f_img - 1)))
+    n_t = t_img // t_tile
+    te = t_tile + 8
+    # overlapping halo windows gathered by XLA (cheap: input is small) so
+    # the kernel sees standard non-overlapping blocks
+    idx = jnp.arange(n_t)[:, None] * t_tile + jnp.arange(te)[None, :]
+    xw = xp[:, idx, :]  # [B, n_t, te, LANE]
+    w1k = jnp.transpose(w1.reshape(3, 3, c), (2, 1, 0)).reshape(c, 9)
+    w2k = _w_cl(w2)
+    b1c = b1.astype(jnp.float32).reshape(c, 1, 1)
+    b2c = b2.astype(jnp.float32).reshape(c, 1, 1)
+    kernel = functools.partial(_b1_kernel, f_img, t_img, t_tile, lane)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, c, t_img // 2, lane_out),
+                                       out_dtype),
+        grid=(b, n_t),
+        in_specs=[pl.BlockSpec((1, 1, te, lane),
+                               lambda bi, ti: (bi, ti, 0, 0),
+                               memory_space=pltpu.VMEM)] + [
+            pl.BlockSpec(a.shape,
+                         functools.partial(lambda n, bi, ti: (0,) * n,
+                                           a.ndim),
+                         memory_space=pltpu.VMEM)
+            for a in (w1k, b1c, w2k, b2c)
+        ],
+        out_specs=pl.BlockSpec((1, c, t_tile // 2, lane_out),
+                               lambda bi, ti: (bi, 0, ti, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * f_img * t_img * 9 * c * (1 + c),
+            bytes_accessed=int(xw.size * 4
+                               + b * c * (t_img // 2) * lane_out * 2),
+            transcendentals=0,
+        ),
+    )(xw, w1k, b1c, w2k, b2c)
+
+
+def vgg_block2_cl(y, f_img, w1, b1, w2, b2, out_dtype=jnp.bfloat16,
+                  interpret=None):
+    """Fused block, C_in > 1, channel-leading I/O.
+
+    y [B, C_in, T, LANE] (col = f, cols >= f_img zero, LANE >= f_img+2)
+    -> [B, C_out, T//2, LANE_OUT].
+    """
+    interpret = INTERPRET if interpret is None else interpret
+    b, c_in, t_img, lane = y.shape
+    if lane % 128 or lane < f_img + 2:
+        raise ValueError(f"LANE {lane} must be 128-mult and >= F+2={f_img+2}")
+    c = w1.shape[-1]
+    t_tile = _pick_t_tile(t_img)
+    lane_out = _out_lane(f_img)
+
+    yp = jnp.pad(y.astype(jnp.bfloat16), ((0, 0), (0, 0), (2, 6), (0, 0)))
+    n_t = t_img // t_tile
+    te = t_tile + 8
+    idx = jnp.arange(n_t)[:, None] * t_tile + jnp.arange(te)[None, :]
+    # [B, C, T+8, L] -> windows [B, n_t, C, te, L]
+    yw = jnp.transpose(yp[:, :, idx, :], (0, 2, 1, 3, 4))
+    kernel = functools.partial(_b2_kernel, f_img, t_img, t_tile, lane, c_in)
+    w1k, w2k = _w_cl(w1), _w_cl(w2)
+    b1c = b1.astype(jnp.float32).reshape(c, 1, 1)
+    b2c = b2.astype(jnp.float32).reshape(c, 1, 1)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, c, t_img // 2, lane_out),
+                                       out_dtype),
+        grid=(b, n_t),
+        in_specs=[pl.BlockSpec((1, 1, c_in, te, lane),
+                               lambda bi, ti: (bi, ti, 0, 0, 0),
+                               memory_space=pltpu.VMEM)] + [
+            pl.BlockSpec(a.shape,
+                         functools.partial(lambda n, bi, ti: (0,) * n,
+                                           a.ndim),
+                         memory_space=pltpu.VMEM)
+            for a in (w1k, b1c, w2k, b2c)
+        ],
+        out_specs=pl.BlockSpec((1, c, t_tile // 2, lane_out),
+                               lambda bi, ti: (bi, 0, ti, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * f_img * t_img * 9 * c * (c_in + c),
+            bytes_accessed=int(yw.size * 2
+                               + b * c * (t_img // 2) * lane_out * 2),
+            transcendentals=0,
+        ),
+    )(yw, w1k, b1c, w2k, b2c)
+
+
+# ---------------------------------------------------------------------------
+# T-major single-block interface (tests + VJP reference)
+# ---------------------------------------------------------------------------
 
 
 def vgg_block_forward_pallas(
@@ -179,80 +308,22 @@ def vgg_block_forward_pallas(
     interpret: bool = False,
     out_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
-    """Returns [B, T//2, F//2, C] (T-major)."""
+    """Returns [B, T//2, F//2, C] (T-major). Transposes at the boundary;
+    use fused_vgg_stack to keep the channel-leading layout across blocks."""
     c_in = w1.shape[2]
-    c = w1.shape[-1]
     if c_in == 1:
         b, t_img, f_img = x.shape[:3]
+        out = vgg_block1_cl(x.reshape(b, t_img, f_img), w1, b1, w2, b2,
+                            out_dtype=out_dtype, interpret=interpret)
     else:
         b, t_img, f_img, _ = x.shape
-    t_tile = _pick_t_tile(t_img, c)
-
-    w1f = w1.reshape(9, c_in, c).astype(jnp.float32)
-    w2f = w2.reshape(9, c, c).astype(jnp.float32)
-    b1f = b1.astype(jnp.float32).reshape(1, c)
-    b2f = b2.astype(jnp.float32).reshape(1, c)
-
-    common = dict(
-        out_shape=jax.ShapeDtypeStruct((b, t_img // 2, f_img // 2, c),
-                                       out_dtype),
-        grid=(b, t_img // t_tile),
-        out_specs=pl.BlockSpec((1, t_tile // 2, f_img // 2, c),
-                               lambda bi, ti: (bi, ti, 0, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * f_img * t_img * 9 * c * (c_in + c),
-            bytes_accessed=int(x.size * x.dtype.itemsize
-                               + b * (f_img // 2) * (t_img // 2) * c * 2),
-            transcendentals=0,
-        ),
-    )
-    w_specs = [
-        pl.BlockSpec((9, c_in, c), lambda bi, ti: (0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, c), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((9, c, c), lambda bi, ti: (0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, c), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
-    ]
-
-    # F right-padding: reach the 16-aligned merge width (+2 slab reach),
-    # then round the stored width up to the memref tiling (Mosaic checks
-    # alignment even on full-dim slices): lanes (cin1 2-D layout) need 128,
-    # sublanes (cinN 4-D layout) need 32.
-    def _round(v, m):
-        return ((v + m - 1) // m) * m
-
-    if c_in == 1:
-        xp_f = _round(_round16(f_img) + 4, 128)
-        x2 = x.reshape(b, t_img, f_img).astype(jnp.float32)
-        # T: left pad 2, right pad 6 so [ti*t_tile, +t_tile+8) windows fit
-        xp = jnp.pad(x2, ((0, 0), (HALO, HALO + 4), (HALO, xp_f - f_img - 2)))
-        kernel = functools.partial(_fwd_kernel_cin1, f_img, t_img, t_tile)
-        return pl.pallas_call(
-            kernel,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + w_specs,
-            scratch_shapes=[
-                pltpu.VMEM((t_tile + 8, xp_f), jnp.float32),
-                pltpu.SemaphoreType.DMA,
-            ],
-            **common,
-        )(xp, w1f, b1f, w2f, b2f)
-
-    xp_f = _round(_round16(f_img) + 4, 32)
-    xp = jnp.pad(x.astype(jnp.bfloat16),
-                 ((0, 0), (HALO, HALO), (HALO, xp_f - f_img - 2), (0, 0)))
-    kernel = functools.partial(_fwd_kernel_cinN, f_img, t_img, t_tile)
-    return pl.pallas_call(
-        kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + w_specs,
-        scratch_shapes=[
-            pltpu.VMEM((t_tile + 4, xp_f, c_in), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA,
-        ],
-        **common,
-    )(xp, w1f, b1f, w2f, b2f)
+        lane = _round(f_img + 2, 128)
+        ycl = jnp.pad(jnp.transpose(x, (0, 3, 1, 2)),
+                      ((0, 0), (0, 0), (0, 0), (0, lane - f_img)))
+        out = vgg_block2_cl(ycl, f_img, w1, b1, w2, b2,
+                            out_dtype=out_dtype, interpret=interpret)
+    # [B, C, T/2, LANE_OUT] -> [B, T/2, F/2, C]
+    return jnp.transpose(out[:, :, :, : f_img // 2], (0, 2, 3, 1))
 
 
 def vgg_block_reference(x, w1, b1, w2, b2):
@@ -282,15 +353,6 @@ def vgg_block_reference(x, w1, b1, w2, b2):
     return jnp.max(jnp.max(y, axis=4), axis=2).astype(jnp.bfloat16)
 
 
-# ---------------------------------------------------------------------------
-# custom VJP: fused forward; backward recomputes via the XLA reference under
-# remat semantics (a fully fused backward kernel is the next optimization).
-# ---------------------------------------------------------------------------
-
-# Set True to run the kernels in interpreter mode (tests on non-TPU hosts).
-INTERPRET = False
-
-
 @jax.custom_vjp
 def fused_vgg_block(x, w1, b1, w2, b2):
     return vgg_block_forward_pallas(x, w1, b1, w2, b2, interpret=INTERPRET)
@@ -309,3 +371,51 @@ def _bwd(res, g):
 
 
 fused_vgg_block.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Full two-block stack (the model integration point): activations stay
+# channel-leading between the blocks; one cheap transpose on the small
+# pooled output. Backward recomputes through the XLA reference (remat
+# semantics); a fused backward kernel is the next optimization.
+# ---------------------------------------------------------------------------
+
+
+def vgg_stack_reference(x, w1a, b1a, w2a, b2a, w1b, b1b, w2b, b2b):
+    """[B, T, F] -> [B, T//4, (F//4) * C2] via the XLA reference blocks.
+    Flatten order is (f, c) f-major — matches FeatureExtractor."""
+    y = vgg_block_reference(x, w1a, b1a, w2a, b2a)
+    y = vgg_block_reference(y, w1b, b1b, w2b, b2b)
+    b, t4, f4, c2 = y.shape
+    return y.reshape(b, t4, f4 * c2)
+
+
+def _stack_fwd_impl(x, w1a, b1a, w2a, b2a, w1b, b1b, w2b, b2b):
+    b, t_img, f_img = x.shape
+    y1 = vgg_block1_cl(x, w1a, b1a, w2a, b2a, interpret=INTERPRET)
+    f2 = f_img // 2
+    y2 = vgg_block2_cl(y1, f2, w1b, b1b, w2b, b2b, interpret=INTERPRET)
+    c2 = w1b.shape[-1]
+    f4 = f2 // 2
+    out = jnp.transpose(y2[:, :, :, :f4], (0, 2, 3, 1))  # [B, T4, F4, C2]
+    return out.reshape(b, t_img // 4, f4 * c2)
+
+
+@jax.custom_vjp
+def fused_vgg_stack(x, w1a, b1a, w2a, b2a, w1b, b1b, w2b, b2b):
+    """Fused two-block VGG subsampler: [B, T, F] -> [B, T//4, (F//4)*C2]."""
+    return _stack_fwd_impl(x, w1a, b1a, w2a, b2a, w1b, b1b, w2b, b2b)
+
+
+def _stack_fwd(x, *w):
+    return _stack_fwd_impl(x, *w), (x, w)
+
+
+def _stack_bwd(res, g):
+    x, w = res
+    _, vjp = jax.vjp(vgg_stack_reference, x, *w)
+    grads = vjp(g.astype(jnp.bfloat16))
+    return (grads[0].astype(x.dtype),) + tuple(grads[1:])
+
+
+fused_vgg_stack.defvjp(_stack_fwd, _stack_bwd)

@@ -208,6 +208,24 @@ def make_meta_step(
         q_loss, q_aux = forward(adapted, query_batch, rng_q, False)
         return q_loss, (s_loss, s_aux, q_aux)
 
+    def task_outer_grad_fo(params, support_batch, query_batch, rng):
+        """First-order task step as two FLAT grad calls: with the inner
+        gradient stop_gradient'ed,  d/dp L_q(p - lr*g)  ==  dL_q/dp evaluated
+        at the adapted weights — no grad-through-grad needed. Identical math
+        to the nested form, but never differentiates the inner vjp (which
+        custom_vjp ops like the fused Pallas VGG stack do not support)."""
+        rng_s, rng_q = jax.random.split(rng)
+        (s_loss, s_aux), g = jax.value_and_grad(forward, has_aux=True)(
+            params, support_batch, rng_s, False
+        )
+        if clip:
+            g = _clip_tree(g, max_norm)
+        adapted = jax.tree.map(lambda w, gw: w - inner_lr * gw, params, g)
+        (q_loss, q_aux), gq = jax.value_and_grad(forward, has_aux=True)(
+            adapted, query_batch, rng_q, False
+        )
+        return q_loss, gq, (s_loss, s_aux, q_aux)
+
     def outer_loss(params, support, query, dropout_rng):
         k = jax.tree.leaves(support)[0].shape[0]
         rngs = jax.random.split(dropout_rng, k)
@@ -218,11 +236,25 @@ def make_meta_step(
         # mean == reference's sum of (loss / K) across tasks
         return jnp.mean(losses), (s_losses, s_aux, q_aux)
 
+    def outer_grads_fo(params, support, query, dropout_rng):
+        k = jax.tree.leaves(support)[0].shape[0]
+        rngs = jax.random.split(dropout_rng, k)
+        q_axes = 0 if per_task_query else None
+        losses, gq, (s_losses, s_aux, q_aux) = jax.vmap(
+            task_outer_grad_fo, in_axes=(None, 0, q_axes, 0)
+        )(params, support, query, rngs)
+        grads = jax.tree.map(lambda t: jnp.mean(t, axis=0), gq)
+        return (jnp.mean(losses), (s_losses, s_aux, q_aux)), grads
+
     @jax.jit
     def step(state: TrainState, support, query, dropout_rng):
-        (loss, (s_losses, s_aux, q_aux)), grads = jax.value_and_grad(
-            outer_loss, has_aux=True
-        )(state.params, support, query, dropout_rng)
+        if second_order:
+            (loss, (s_losses, s_aux, q_aux)), grads = jax.value_and_grad(
+                outer_loss, has_aux=True
+            )(state.params, support, query, dropout_rng)
+        else:
+            (loss, (s_losses, s_aux, q_aux)), grads = outer_grads_fo(
+                state.params, support, query, dropout_rng)
         if clip:
             grads = _clip_tree(grads, max_norm)
         updates, opt_state = outer_optimizer.update(grads, state.opt_state,

@@ -94,3 +94,79 @@ def test_fused_block_trains():
         assert float(l) < l0 * 0.5, (l0, float(l))
     finally:
         vp.INTERPRET = old
+
+
+def test_fused_stack_matches_reference_and_grads():
+    """fused_vgg_stack forward == XLA reference; grads flow (custom VJP);
+    works under vmap (the meta step vmaps tasks over the conv)."""
+    rng = np.random.RandomState(1)
+
+    def mk(*s, sc=0.1):
+        return jnp.asarray((rng.randn(*s) * sc).astype(np.float32))
+
+    x = jnp.asarray(rng.randn(2, 32, 13).astype(np.float32))
+    w = [mk(3, 3, 1, 8), mk(8), mk(3, 3, 8, 8), mk(8),
+         mk(3, 3, 8, 16, sc=0.2), mk(16), mk(3, 3, 16, 16, sc=0.2), mk(16)]
+
+    old = vp.INTERPRET
+    vp.INTERPRET = True
+    try:
+        out = np.asarray(vp.fused_vgg_stack(x, *w), np.float32)
+        ref = np.asarray(vp.vgg_stack_reference(x, *w), np.float32)
+        assert out.shape == ref.shape == (2, 8, 3 * 16)
+        np.testing.assert_allclose(out, ref, atol=4e-2, rtol=2e-2)
+
+        # grads via the recompute VJP match grads of the reference
+        def loss_fused(w):
+            return jnp.mean(vp.fused_vgg_stack(x, *w).astype(jnp.float32)**2)
+
+        def loss_ref(w):
+            return jnp.mean(
+                vp.vgg_stack_reference(x, *w).astype(jnp.float32)**2)
+
+        gf = jax.grad(loss_fused)(w)
+        gr = jax.grad(loss_ref)(w)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-2, rtol=5e-2)
+
+        # vmap over a task axis (meta-step shape): runs and matches stacking
+        xs = jnp.stack([x, x + 0.05])
+        vm = jax.vmap(lambda xi: vp.fused_vgg_stack(xi, *w))(xs)
+        single = jnp.stack([vp.fused_vgg_stack(xs[0], *w),
+                            vp.fused_vgg_stack(xs[1], *w)])
+        np.testing.assert_allclose(np.asarray(vm), np.asarray(single),
+                                   atol=2e-2, rtol=2e-2)
+    finally:
+        vp.INTERPRET = old
+
+
+def test_fused_subsampler_param_tree_matches_xla_path():
+    """FeatureExtractor(fused=True) shares the exact param tree with the XLA
+    nn.Conv path, so checkpoints are interchangeable; outputs match."""
+    from mtl_tpu.models.subsampler import FeatureExtractor
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 16, 9).astype(np.float32))
+
+    old = vp.INTERPRET
+    vp.INTERPRET = True
+    try:
+        fe_x = FeatureExtractor("vgg_cnn", fused=False)
+        fe_f = FeatureExtractor("vgg_cnn", fused=True)
+        px = fe_x.init(jax.random.PRNGKey(0), x)
+        pf = fe_f.init(jax.random.PRNGKey(0), x)
+        tx = jax.tree.structure(px)
+        tf_ = jax.tree.structure(pf)
+        assert tx == tf_, (tx, tf_)
+        shapes_x = jax.tree.map(lambda a: a.shape, px)
+        shapes_f = jax.tree.map(lambda a: a.shape, pf)
+        assert shapes_x == shapes_f
+
+        # same params -> same output (within bf16 tolerance) either path
+        out_x = np.asarray(fe_x.apply(px, x), np.float32)
+        out_f = np.asarray(fe_f.apply(px, x), np.float32)
+        assert out_x.shape == out_f.shape
+        np.testing.assert_allclose(out_f, out_x, atol=4e-2, rtol=2e-2)
+    finally:
+        vp.INTERPRET = old
