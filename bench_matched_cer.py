@@ -1,0 +1,416 @@
+#!/usr/bin/env python
+"""Matched-CER benchmark: mtl_tpu vs the ACTUAL PyTorch reference.
+
+Protocol (the honest version of BASELINE.json's north star):
+
+1. One synthetic 3-task corpus (EN-like / ZH-like / code-switched target).
+2. ONE set of initial weights: the Flax init is transplanted into the real
+   reference model imported from /root/reference (mtl_tpu.parity.torch_ref),
+   so both frameworks start from identical parameters.
+3. ONE deterministic batch stream: the same seeded sampler yields identical
+   support/query numpy batches to both frameworks. Features are precomputed
+   once (identical arrays) and excluded from both frameworks' timing, so the
+   comparison is purely the meta-transfer training math.
+4. Both run the same algorithm — the reference's transient (meta-transfer)
+   iteration (transient_trainer.py:150-255): per task support fwd+bwd,
+   inner SGD step, query loss at the adapted weights, copy-grad outer
+   accumulation, weight restore; one outer Adam step per iteration. The
+   torch side drives the reference Transformer directly with a minimal loop
+   that mirrors those lines; the mtl_tpu side uses make_meta_step.
+5. Every --eval-every iterations both evaluate teacher-forced CER on the
+   full target-task valid set with the same scorer (utils.metrics).
+
+Outputs one JSON line with both learning curves (iter, wall_s, cer) and the
+iterations/wall-time to --target-cer, plus utt/s for each side. CPU-torch vs
+one TPU chip: the reference was a GPU codebase, so BASELINE.md also restates
+the ratio against a documented V100 estimate.
+
+Usage:
+  python bench_matched_cer.py [--max-iters 300] [--target-cer 0.2]
+                              [--skip-torch] [--skip-tpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+
+K_TASKS = 3
+K_TRAIN = 4
+K_VALID = 4
+INNER_LR = 1e-2
+META_LR = 1e-3
+SEED = 1234
+
+
+def tiny_cfg(num_labels: int):
+    from mtl_tpu.config import Config
+
+    cfg = Config()
+    cfg.model.num_enc_layers = 1
+    cfg.model.num_dec_layers = 2
+    cfg.model.num_heads = 2
+    cfg.model.dim_model = 64
+    cfg.model.dim_key = 16
+    cfg.model.dim_value = 16
+    cfg.model.dim_inner = 64
+    cfg.model.dim_emb = 64
+    cfg.model.dropout = 0.0
+    cfg.model.r = 16
+    cfg.model.dtype = "float32"
+    cfg.model.src_max_len = 512
+    cfg.model.tgt_max_len = 64
+    cfg.train.lr = INNER_LR
+    cfg.train.meta_lr = META_LR
+    cfg.train.clip = False
+    cfg.train.copy_grad = True
+    cfg.finalize()
+    return cfg
+
+
+def build_data(cfg):
+    """Precompute identical features/targets for every utterance of every
+    task; returns per-task lists + the static padded shapes."""
+    import jax.numpy as jnp
+
+    from mtl_tpu.data.audio import load_audio
+    from mtl_tpu.data.dataset import read_manifest
+    from mtl_tpu.data.synthetic import make_synthetic_corpus
+    from mtl_tpu.data.vocab import Vocab
+    from mtl_tpu.ops.frontend import log_spectrogram
+
+    manifests, labels_path = make_synthetic_corpus(
+        "/tmp/cer_corpus", num_tasks=K_TASKS, utts_per_task=8,
+        max_sec=0.6, max_chars=8, seed=7,
+    )
+    vocab = Vocab.from_json(labels_path)
+
+    tasks = []
+    for mpath in manifests:
+        rows = read_manifest(mpath)
+        utts = []
+        for audio_path, txt_path in rows:
+            wav = load_audio(audio_path)
+            with open(txt_path, encoding="utf-8") as fh:
+                text = fh.read().strip()
+            ids = [i for i in (vocab.label2id.get(ch) for ch in text)
+                   if i]  # reference OOV drop quirk
+            n_fft = cfg.audio.n_fft
+            pad = n_fft // 2
+            wavp = np.pad(wav, (pad, pad), mode="reflect")
+            feats, flen = log_spectrogram(
+                jnp.asarray(wavp[None]),
+                jnp.asarray([len(wav)]),
+                n_fft=n_fft, hop=cfg.audio.hop_length,
+                window=cfg.audio.window, normalize=cfg.audio.normalize,
+                prepadded=True,
+            )
+            t = int(np.asarray(flen)[0])
+            utts.append((np.asarray(feats)[0, :t].astype(np.float32),
+                         np.asarray(ids, np.int64)))
+        tasks.append(utts)
+
+    t_max = max(u[0].shape[0] for task in tasks for u in task)
+    t_max = (t_max + 7) // 8 * 8
+    l_max = max(len(u[1]) for task in tasks for u in task) + 1
+    return tasks, vocab, t_max, l_max
+
+
+def pad_batch(utts, t_max, l_max):
+    b = len(utts)
+    f = utts[0][0].shape[1]
+    feats = np.zeros((b, t_max, f), np.float32)
+    lengths = np.zeros((b,), np.int32)
+    targets = np.zeros((b, l_max), np.int64)
+    for i, (x, y) in enumerate(utts):
+        feats[i, : x.shape[0]] = x
+        lengths[i] = x.shape[0]
+        targets[i, : len(y)] = y
+    return feats, lengths, targets
+
+
+class BatchStream:
+    """Deterministic sampler yielding identical batches to both sides."""
+
+    def __init__(self, tasks, t_max, l_max, seed=SEED):
+        self.tasks = tasks
+        self.t_max, self.l_max = t_max, l_max
+        self.rng = np.random.RandomState(seed)
+
+    def next_iter(self):
+        support = []
+        for k in range(K_TASKS):
+            idx = self.rng.choice(len(self.tasks[k]), K_TRAIN, replace=True)
+            support.append(pad_batch([self.tasks[k][i] for i in idx],
+                                     self.t_max, self.l_max))
+        qidx = self.rng.choice(len(self.tasks[-1]), K_VALID, replace=True)
+        query = pad_batch([self.tasks[-1][i] for i in qidx],
+                          self.t_max, self.l_max)
+        return support, query
+
+
+def eval_batches(tasks, t_max, l_max, bs=8):
+    """Full target-task set as fixed batches."""
+    utts = tasks[-1]
+    out = []
+    for s in range(0, len(utts), bs):
+        chunk = utts[s:s + bs]
+        while len(chunk) < bs:
+            chunk = chunk + chunk[: bs - len(chunk)]
+        out.append((pad_batch(chunk, t_max, l_max), min(bs, len(utts) - s)))
+    return out
+
+
+def cer_of(hyps, golds, vocab, n_valid):
+    from mtl_tpu.train.trainer import batch_cer
+
+    d, n = batch_cer(np.asarray(hyps)[:n_valid], np.asarray(golds)[:n_valid],
+                     vocab)
+    return d, max(n, 1)
+
+
+# ---------------------------------------------------------------------------
+# mtl_tpu side
+# ---------------------------------------------------------------------------
+
+def run_tpu(cfg, vocab, tasks, t_max, l_max, args):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mtl_tpu.models.transformer import build_model
+    from mtl_tpu.train.steps import (init_train_state, make_eval_step,
+                                     make_meta_step)
+
+    model = build_model(cfg, vocab.size)
+    outer_opt = optax.adam(META_LR)
+    step = make_meta_step(model, cfg, outer_opt)
+    eval_step = make_eval_step(model, cfg)
+
+    stream = BatchStream(tasks, t_max, l_max)
+    sup0, q0 = stream.next_iter()
+
+    def to_dev(batch):
+        feats, lengths, targets = batch
+        return {"features": jnp.asarray(feats),
+                "input_lengths": jnp.asarray(lengths),
+                "targets": jnp.asarray(targets)}
+
+    def stack_support(sup):
+        ds = [to_dev(b) for b in sup]
+        return {k: jnp.stack([d[k] for d in ds]) for k in ds[0]}
+
+    ex = to_dev(sup0[0])
+    state = init_train_state(model, cfg, outer_opt, jax.random.PRNGKey(11),
+                             ex)
+    init_params = jax.tree.map(np.asarray, state.params)
+
+    evals = eval_batches(tasks, t_max, l_max)
+
+    def evaluate(params):
+        d_tot, n_tot = 0, 0
+        for batch, n_valid in evals:
+            _, aux = eval_step(params, to_dev(batch))
+            d, n = cer_of(aux["hyp"], aux["gold"], vocab, n_valid)
+            d_tot += d
+            n_tot += n
+        return d_tot / n_tot
+
+    # warmup/compile on the first batches (excluded from timing)
+    rng = jax.random.PRNGKey(5)
+    state_w = state
+    rng, sub = jax.random.split(rng)
+    state_w, m = step(state_w, stack_support(sup0), to_dev(q0), sub)
+    float(m["outer_loss"])
+    evaluate(state_w.params)
+    # re-init (the warmup step consumed/donated state) and restart the stream
+    state = init_train_state(model, cfg, outer_opt, jax.random.PRNGKey(11),
+                             ex)
+    stream = BatchStream(tasks, t_max, l_max)
+
+    curve = []
+    t0 = time.perf_counter()
+    rng = jax.random.PRNGKey(5)
+    for it in range(1, args.max_iters + 1):
+        sup, q = stream.next_iter()
+        rng, sub = jax.random.split(rng)
+        state, m = step(state, stack_support(sup), to_dev(q), sub)
+        if it % args.eval_every == 0 or it == args.max_iters:
+            float(m["outer_loss"])  # sync
+            wall = time.perf_counter() - t0
+            cer = evaluate(state.params)
+            curve.append({"iter": it, "wall_s": round(wall, 2),
+                          "cer": round(float(cer), 4)})
+            print(f"[tpu] iter {it} wall {wall:.1f}s cer {cer:.3f}",
+                  flush=True)
+            if cer <= args.target_cer:
+                break
+    return init_params, curve
+
+
+# ---------------------------------------------------------------------------
+# torch reference side
+# ---------------------------------------------------------------------------
+
+def run_torch(cfg, vocab, tasks, t_max, l_max, init_params, args):
+    import torch
+    import torch.nn.functional as F
+
+    from mtl_tpu.parity.torch_ref import build_ref_model, load_reference
+
+    torch.set_num_threads(os.cpu_count() or 1)
+    ref = load_reference()
+    rv = ref.Vocab()
+    for lab in vocab.id2label[4:]:
+        rv.add_label(lab)
+    f_bins = tasks[0][0][0].shape[1]
+    torch_model = build_ref_model(ref, rv, cfg, {"params":
+                                                 init_params["params"]},
+                                  f_prime=f_bins // 4, channels=128)
+    torch_model.train()
+
+    inner_opt = torch.optim.SGD(torch_model.parameters(), lr=INNER_LR)
+    outer_opt = torch.optim.Adam(torch_model.parameters(), lr=META_LR)
+
+    def fwd(batch):
+        feats, lengths, targets = batch
+        x = torch.from_numpy(feats).permute(0, 2, 1)[:, None]
+        pred, gold, hyp = torch_model(
+            x, torch.from_numpy(lengths.astype(np.int64)),
+            torch.from_numpy(targets))
+        loss = F.cross_entropy(pred.reshape(-1, pred.shape[-1]),
+                               gold.reshape(-1), ignore_index=0)
+        return loss, pred, gold
+
+    evals = eval_batches(tasks, t_max, l_max)
+
+    def evaluate():
+        torch_model.eval()
+        d_tot, n_tot = 0, 0
+        with torch.no_grad():
+            for batch, n_valid in evals:
+                _, pred, gold = fwd(batch)
+                hyp = pred.argmax(-1).numpy()
+                d, n = cer_of(hyp, gold.numpy(), vocab, n_valid)
+                d_tot += d
+                n_tot += n
+        torch_model.train()
+        return d_tot / n_tot
+
+    stream = BatchStream(tasks, t_max, l_max)
+    curve = []
+    t0 = time.perf_counter()
+    names = [n for n, _ in torch_model.named_parameters()]
+    for it in range(1, args.max_iters + 1):
+        sup, q = stream.next_iter()
+        from copy import deepcopy
+
+        weights_original = deepcopy(torch_model.state_dict())
+        acc = {n: 0.0 for n in names}
+        for k in range(K_TASKS):
+            # inner adaptation on the task support batch
+            inner_opt.zero_grad()
+            loss, _, _ = fwd(sup[k])
+            loss.backward()
+            inner_opt.step()
+            # query loss at the adapted weights; copy-grad accumulation
+            # (transient_trainer.py:225-248)
+            inner_opt.zero_grad()
+            q_loss, _, _ = fwd(q)
+            (q_loss / K_TASKS).backward()
+            for n, p in torch_model.named_parameters():
+                if p.grad is not None:
+                    acc[n] = acc[n] + p.grad.detach().clone()
+            torch_model.load_state_dict(weights_original)
+        outer_opt.zero_grad()
+        for n, p in torch_model.named_parameters():
+            if isinstance(acc[n], torch.Tensor):
+                p.grad = acc[n]
+        outer_opt.step()
+
+        if it % args.eval_every == 0 or it == args.max_iters:
+            wall = time.perf_counter() - t0
+            cer = evaluate()
+            curve.append({"iter": it, "wall_s": round(wall, 2),
+                          "cer": round(float(cer), 4)})
+            print(f"[torch] iter {it} wall {wall:.1f}s cer {cer:.3f}",
+                  flush=True)
+            if cer <= args.target_cer:
+                break
+        if time.perf_counter() - t0 > args.torch_max_seconds:
+            print("[torch] time budget exhausted", flush=True)
+            break
+    return curve
+
+
+def summarize(curve, target):
+    hit = next((p for p in curve if p["cer"] <= target), None)
+    return {
+        "curve": curve,
+        "reached_target": hit is not None,
+        "iters_to_target": hit["iter"] if hit else None,
+        "wall_s_to_target": hit["wall_s"] if hit else None,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--max-iters", type=int, default=300)
+    ap.add_argument("--eval-every", type=int, default=20)
+    ap.add_argument("--target-cer", type=float, default=0.20)
+    ap.add_argument("--torch-max-seconds", type=float, default=2400.0)
+    ap.add_argument("--skip-torch", action="store_true")
+    ap.add_argument("--skip-tpu", action="store_true")
+    args = ap.parse_args()
+
+    num_labels_cfg = tiny_cfg(0)
+    tasks, vocab, t_max, l_max = build_data(num_labels_cfg)
+    cfg = tiny_cfg(vocab.size)
+    cfg.model.tgt_max_len = max(cfg.model.tgt_max_len, l_max + 2)
+
+    utt_per_iter = K_TASKS * K_TRAIN + K_VALID
+    out = {"protocol": {
+        "k_tasks": K_TASKS, "k_train": K_TRAIN, "k_valid": K_VALID,
+        "inner_lr": INNER_LR, "meta_lr": META_LR,
+        "utt_per_iter": utt_per_iter, "target_cer": args.target_cer,
+        "same_init": True, "same_batches": True,
+        "features": "precomputed once, identical arrays, excluded from "
+                    "both timings",
+    }}
+
+    init_params = None
+    if not args.skip_tpu:
+        init_params, curve = run_tpu(cfg, vocab, tasks, t_max, l_max, args)
+        s = summarize(curve, args.target_cer)
+        if s["wall_s_to_target"]:
+            s["utt_per_sec"] = round(
+                s["iters_to_target"] * utt_per_iter / s["wall_s_to_target"],
+                2)
+        out["mtl_tpu"] = s
+        np.save("/tmp/cer_init_params.npy",
+                np.asarray([init_params], dtype=object), allow_pickle=True)
+    if not args.skip_torch:
+        if init_params is None:
+            init_params = np.load("/tmp/cer_init_params.npy",
+                                  allow_pickle=True)[0]
+        curve = run_torch(cfg, vocab, tasks, t_max, l_max, init_params, args)
+        s = summarize(curve, args.target_cer)
+        if s["wall_s_to_target"]:
+            s["utt_per_sec"] = round(
+                s["iters_to_target"] * utt_per_iter / s["wall_s_to_target"],
+                2)
+        out["torch_reference_cpu"] = s
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

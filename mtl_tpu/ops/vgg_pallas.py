@@ -1,42 +1,46 @@
 """Fused Pallas TPU kernels for the VGG blocks: conv3x3 -> relu -> conv3x3 ->
 relu -> maxpool2x2 (reference models/asr/transformer.py:47-59).
 
-STATUS (round 2): compiles and runs on real TPU. The round-1 T-major,
-channel-minor design was blocked by two Mosaic limits on this image —
-HBM->VMEM DMA requires the minor (lane) dim to be a 128-multiple (C=64
-rejected), and 2D->3D minor-dim inserts are unsupported (killed the C_in=1
-broadcast conv). This rewrite uses a **channel-leading layout** that
-satisfies every constraint:
+Layout (v2): activations are **[T(untiled), F(sublane), C(lane)]** per
+(batch, time-tile) grid step. This is the layout where a 3x3 conv's data
+reuse is cheapest under this image's Mosaic constraints:
 
-    activations [B, C, T, LANE]   C untiled, T sublanes, F on 128-mult lanes
+* the three t-shifts of every tap are FREE leading-dim slices (untiled dims
+  just select vector registers — no data movement);
+* the three f-shifts are applied AFTER the channel matmul (an input shift
+  commutes with channel mixing), so each conv needs two sublane
+  `pltpu.roll`s of the accumulator instead of six shifted input copies;
+* channel contraction is a plain MXU matmul on the merged [(T*F), C_in]
+  view (untiled x sublane merges and major-dim splits are legal);
+* 2x2 maxpool: T-pool by a leading-dim reshape-split (free) + max; F-pool
+  as max(z, roll(z, -1)) followed by an even-row selection einsum on the
+  MXU (strided sublane gathers are unsupported);
+* C on lanes means biases broadcast from natural lane vectors and no
+  lane-padding waste.
 
-* DMA slices touch only untiled/sublane dims at 8-aligned offsets with the
-  lane dim always full and 128-aligned.
-* conv f-shifts are lane `pltpu.roll`s (non-negative shifts only) with the
-  wrap-around landing in zeroed junk lanes; t-shifts are plain sublane
-  slices (verified legal at unaligned offsets).
-* block-1 conv1 (C_in=1) is one K=9 MXU matmul over 9 stacked shifted
-  slabs — no minor-dim broadcast needed.
-* block-2 convs are 9 channel matmuls  W_k [C_out, C_in] @ slab_k
-  [C_in, T*LANE]  (sublane x lane merges are legal when LANE % 128 == 0).
-* 2x2 maxpool: T-pool by transposing C<->T and splitting the new leading
-  dim (Mosaic cannot reshape-split a sublane dim); F-pool as
-  max(z, roll(z, -1)) followed by an even-column 0/1 selection matmul
-  (strided lane gathers are unsupported).
+History: the round-2a channel-leading [C, T, F-on-128-lanes] design also
+compiled and was numerically correct, but moved ~45-60 MB of VMEM traffic
+per [64, 32, 256] tile through rolls/slices/transposes — measured slower
+than XLA's native conv (BASELINE.md). The round-1 T-major channel-minor
+design never compiled (DMA lane dims must be 128-multiples; 2D->3D
+minor-dim inserts unsupported). Other Mosaic limits worked around here:
+lane/sublane rotates are 32-bit only (activations stay f32 in-kernel; the
+MXU reads f32 through its bf16 path at default precision anyway); no
+sublane reshape-splits; no strided gathers; thin 2D transposes ARE
+supported (used once for the C_in=1 tap-stack matmul).
 
-Why: the flagship meta step is HBM-bound (BASELINE.md roofline) and the
-dominant traffic is the conv activations written/re-read at full 161x800
-spectrogram resolution. These kernels keep a whole block's intermediates in
-VMEM per (batch, time-tile) grid step: HBM sees only the block input read
-and the pooled output write.
+Indexing conventions inside a block (base = ti * t_tile):
+* extended ("E") tensors: row j <-> t = base + j - 1, col i <-> f = i - 1
+  (one halo row/col at index 0; junk cols stay zero so roll wrap-around
+  reads zeros);
+* input windows: row r <-> t = base + r - 2 (two halo rows — gathered by
+  XLA into non-overlapping blocks so Pallas pipelining and vmap work);
+* block outputs: row = pooled t direct, col g <-> pooled f = g - 1 (the
+  next block consumes the same convention).
 
 Math parity: SAME zero padding, bias, relu, VALID 2x2/stride-2 floor pool —
 flax nn.Conv + nn.max_pool semantics (torch Conv2d/MaxPool2d parity).
 Weights arrive as flax HWIO [3(f), 3(t), C_in, C_out].
-
-Column convention: inside a block, extended activations store f at column
-f+1 (column 0 is the SAME-conv left halo); block inputs/outputs store f at
-column f. Junk lanes are kept at zero so roll wrap-around reads zeros.
 """
 
 from __future__ import annotations
@@ -51,14 +55,22 @@ from jax.experimental.pallas import tpu as pltpu
 # Set True to run the kernels in interpreter mode (tests on non-TPU hosts).
 INTERPRET = False
 
+# Grid steps are independent (parallel) in both dims; the default 16 MB
+# scoped-vmem cap is raised — v5e has 128 MiB of VMEM and the t_tile=40
+# tiles peak around ~26 MB of live values.
+_COMPILER_PARAMS = pltpu.CompilerParams(
+    dimension_semantics=("parallel", "parallel"),
+    vmem_limit_bytes=100 * 1024 * 1024,
+)
+
 
 def _round(v: int, m: int) -> int:
     return ((v + m - 1) // m) * m
 
 
-def _pick_t_tile(t_img: int, cap: int = 32) -> int:
+def _pick_t_tile(t_img: int, cap: int = 48) -> int:
     """Largest multiple-of-8 tile <= cap dividing t_img (VMEM-bounded)."""
-    tile = cap
+    tile = cap - cap % 8
     while tile >= 8:
         if t_img % tile == 0:
             return tile
@@ -66,229 +78,246 @@ def _pick_t_tile(t_img: int, cap: int = 32) -> int:
     raise ValueError(f"T={t_img} not tileable (need a multiple of 8)")
 
 
-def _edge_mask(shape2, base, t_img, f_img):
-    """[rows, lanes] 0/1 mask: row j is real iff 0 <= base+j-1 < t_img,
-    col i is real iff 1 <= i <= f_img (col = f+1 convention)."""
-    tj = jax.lax.broadcasted_iota(jnp.int32, shape2, 0)
-    fi = jax.lax.broadcasted_iota(jnp.int32, shape2, 1)
+def _w9(w):
+    """flax HWIO [3(f), 3(t), C_in, C_out] -> [9, C_in, C_out], k=dt*3+df."""
+    return jnp.transpose(w, (1, 0, 2, 3)).reshape(9, w.shape[2], w.shape[3])
+
+
+def _mask_e(te, f_pad, base, t_img, f_img):
+    """[te, f_pad, 1] 0/1 mask for an E tensor: real iff 0 <= t < t_img and
+    1 <= i <= f_img. SAME convs must see zeros outside the image
+    (relu(bias) != 0 there)."""
+    tj = jax.lax.broadcasted_iota(jnp.int32, (te, f_pad), 0)
+    fi = jax.lax.broadcasted_iota(jnp.int32, (te, f_pad), 1)
     t_g = tj + base - 1
     return ((t_g >= 0) & (t_g < t_img)
-            & (fi >= 1) & (fi <= f_img)).astype(jnp.float32)
+            & (fi >= 1) & (fi <= f_img)).astype(jnp.float32)[:, :, None]
 
 
-def _select_even(lane: int, lane_out: int, n_pool: int):
-    """0/1 [lane, lane_out] matmul operand: out[:, j] = in[:, 2j], j<n_pool."""
-    li = jax.lax.broadcasted_iota(jnp.int32, (lane, lane_out), 0)
-    lj = jax.lax.broadcasted_iota(jnp.int32, (lane, lane_out), 1)
-    return ((li == 2 * lj) & (lj < n_pool)).astype(jnp.float32)
+def _extend_rows(x, rows):
+    extra = rows - x.shape[0]
+    if extra <= 0:
+        return x[:rows]
+    return jnp.concatenate(
+        [x, jnp.zeros((extra,) + x.shape[1:], x.dtype)], axis=0)
 
 
-def _relu_pool_write(z2m, b2_ref, c, t_tile, lane, f_img, o_ref):
-    """z2m [C, t_tile*LANE] f32 (cols = f) -> +bias, relu, 2x2 floor pool ->
-    o_ref[0] [C, t_tile//2, LANE_OUT] (junk cols forced to zero by the
-    selection matmul)."""
-    z = jnp.maximum(z2m.reshape(c, t_tile, lane) + b2_ref[:], 0.0)
-    # T-pool: transpose C<->T, split the (now leading) T dim, max, restore.
-    zt = jnp.transpose(z, (1, 0, 2))
-    zt = jnp.max(zt.reshape(t_tile // 2, 2, c, lane), axis=1)
-    z = jnp.transpose(zt, (1, 0, 2))  # [C, t2, LANE] f32 (32-bit rolls)
-    # F-pool: adjacent max then even-column selection on the MXU.
-    m = jnp.maximum(z, pltpu.roll(z, lane - 1, 2))
-    t2 = t_tile // 2
-    lane_out = o_ref.shape[-1]
-    sel = _select_even(lane, lane_out, f_img // 2)
-    out = jnp.dot(m.reshape(c * t2, lane), sel,
-                  preferred_element_type=jnp.float32)
-    o_ref[0] = out.reshape(c, t2, lane_out).astype(o_ref.dtype)
+def _conv3x3(e_in, w_ref, r_out, c0):
+    """3x3 conv with f-shifts applied after the channel matmul:
+
+        out[j, i] = sum_{dt, df} e_in[j + dt, i + df - c0] @ W[dt*3 + df]
+
+    e_in [RE, F_PAD, C_in] f32 with RE >= r_out + 2 (callers zero-extend;
+    junk tail rows only feed output rows the consumer ignores). The dt
+    slices are free untiled-dim selections; the df shift is a sublane roll
+    of the [r_out, F_PAD, C_out] accumulator (wrap lands in junk cols,
+    which upstream masking keeps zero). c0=1 yields E-convention output
+    (rows t = base+j-1 when e_in rows are t = base+j-2); c0=0 yields
+    direct rows/cols for the pool (e_in = the E-convention conv1 output).
+    """
+    f_pad = e_in.shape[1]
+    c_in = e_in.shape[2]
+    c = w_ref.shape[-1]
+    z = None
+    for df in range(3):
+        a = None
+        for dt in range(3):
+            p = jax.lax.dot_general(
+                e_in[dt:dt + r_out], w_ref[dt * 3 + df],
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            a = p if a is None else a + p
+        s = (c0 - df) % f_pad
+        if s:
+            a = pltpu.roll(a, s, 1)
+        z = a if z is None else z + a
+    return z
 
 
-def _b1_kernel(f_img, t_img, t_tile, lane,
+def _sel_pool(f_pad: int, g_pad: int, n_pool: int):
+    """0/1 [g_pad, f_pad]: output row g picks f = 2*(g-1) for 1 <= g <=
+    n_pool (output col convention: col g <-> pooled f = g - 1; col 0 and
+    junk cols come out zero for the next block's halo/wrap reads)."""
+    fi = jax.lax.broadcasted_iota(jnp.int32, (g_pad, f_pad), 1)
+    gi = jax.lax.broadcasted_iota(jnp.int32, (g_pad, f_pad), 0)
+    return ((fi == 2 * (gi - 1)) & (gi >= 1)
+            & (gi <= n_pool)).astype(jnp.float32)
+
+
+def _relu_pool_write(z, b_ref, t_tile, f_img, o_ref):
+    """z [t_tile, F_PAD, C] pre-bias, rows/cols direct. relu(z+b) -> 2x2
+    floor pool -> o_ref[0] [t_tile//2, G_PAD, C]."""
+    f_pad = z.shape[1]
+    c = z.shape[-1]
+    z = jnp.maximum(z + b_ref[0], 0.0)
+    z = jnp.max(z.reshape(t_tile // 2, 2, f_pad, c), axis=1)
+    m = jnp.maximum(z, pltpu.roll(z, f_pad - 1, 1))  # m[i]=max(z[i],z[i+1])
+    g_pad = o_ref.shape[-2]
+    sel = _sel_pool(f_pad, g_pad, f_img // 2)
+    out = jnp.einsum("gf,tfc->tgc", sel, m,
+                     preferred_element_type=jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _b1_kernel(f_img, t_img, t_tile, lane_in, f_pad,
                x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
-    """VGG block with C_in == 1. x_ref: one halo window [1, 1, t_tile+8,
-    LANE] f32 (windows pre-gathered by XLA so the blocks are standard
-    non-overlapping VMEM tiles — pipelined, and vmap-batchable): row r =
-    x[t = base + r - 2], col i = x[f = i-1]. w1 [C, 9] (k = dt*3+df),
-    w2 [9, C, C] (w2[k] = [C_out, C_in])."""
+    """VGG block, C_in == 1. x_ref: one halo window [1, 1, te, LANE_IN] f32
+    (row r <-> t = base + r - 2, col i <-> f = i - 1, junk zero).
+    w1 [9, C] tap-major, w2 [9, C, C]."""
     ti = pl.program_id(1)
     base = ti * t_tile
-    x = x_ref[0, 0]  # [t_tile+8, LANE]
-    te = t_tile + 8          # extended rows (8-mult for legal merges)
-    c = w1_ref.shape[0]
+    x = x_ref[0, 0]  # [te, LANE_IN]
+    te = t_tile + 8
+    c = w1_ref.shape[-1]
 
-    # conv1: slab_{dt,df}[j, i] = x[t=base+j+dt-2, f=i+df-2] = rolled xbuf.
+    # conv1 as ONE K=9 matmul over 9 stacked shifted slabs (there is no
+    # channel dim to contract for C_in=1). Slab for tap (dt, df):
+    # y1_E[j, i] needs x[t = base+j-1+dtoff, f = i-1+dfoff]
+    # -> window row j + dt, col i + df - 1 (lane roll by 1 - df).
     slabs = []
     for dt in range(3):
-        xs = x if dt == 0 else jnp.concatenate(
-            [x[dt:], jnp.zeros((dt, lane), x.dtype)], axis=0)
+        xs = x if dt == 0 else _extend_rows(x[dt:], te)
         for df in range(3):
-            slabs.append(pltpu.roll(xs, (1 - df) % lane, 1))
-    xs9 = jnp.stack(slabs, axis=0).reshape(9, te * lane)
-    y1 = jnp.dot(w1_ref[:], xs9, preferred_element_type=jnp.float32)
-    y1 = y1.reshape(c, te, lane) + b1_ref[:]
-    y1 = jnp.maximum(y1, 0.0)
-    # SAME conv2 must see zeros outside the image (relu(bias) != 0 there).
-    # f32 throughout: Mosaic's lane rotate is 32-bit only; the MXU reads
-    # f32 operands through its bf16 path at default precision anyway.
-    y1 = y1 * _edge_mask((te, lane), base, t_img, f_img)[None]
+            slabs.append(pltpu.roll(xs, (1 - df) % lane_in, 1))
+    x9 = jnp.stack(slabs, axis=0).reshape(9, te * lane_in)
+    y1 = jnp.dot(x9.T, w1_ref[:], preferred_element_type=jnp.float32)
+    y1 = y1.reshape(te, lane_in, c)[:, :f_pad, :]
+    y1 = jnp.maximum(y1 + b1_ref[0], 0.0)
+    y1 = y1 * _mask_e(te, f_pad, base, t_img, f_img)
 
-    # conv2: z2[c, j2, i] at t=base+j2, f=i; input col = i + df.
-    z2 = jnp.zeros((c, t_tile * lane), jnp.float32)
-    for dt in range(3):
-        ys = y1[:, dt:dt + t_tile, :]
-        for df in range(3):
-            slab = ys if df == 0 else pltpu.roll(ys, (lane - df) % lane, 2)
-            z2 = z2 + jnp.dot(w2_ref[dt * 3 + df],
-                              slab.reshape(c, t_tile * lane),
-                              preferred_element_type=jnp.float32)
-    _relu_pool_write(z2, b2_ref, c, t_tile, lane, f_img, o_ref)
+    z2 = _conv3x3(y1, w2_ref, t_tile, 0)
+    _relu_pool_write(z2, b2_ref, t_tile, f_img, o_ref)
 
 
-def _b2_kernel(f_img, t_img, t_tile, lane, c_in,
+def _b2_kernel(f_img, t_img, t_tile,
                y_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
-    """VGG block with C_in > 1. y_ref: one halo window [1, 1, C_in,
-    t_tile+8, LANE] bf16 (row r = t = base + r - 2, col i = f = i, junk
-    cols zero). w1/w2 [9, C_out, C_in]."""
+    """VGG block, C_in > 1. y_ref: one halo window [1, 1, te, F_PAD, C_in]
+    bf16 (row r <-> t = base + r - 2, col i <-> f = i - 1, junk zero)."""
     ti = pl.program_id(1)
     base = ti * t_tile
-    y = y_ref[0, 0].astype(jnp.float32)  # [C_in, te, LANE] (32-bit rolls)
+    y = y_ref[0, 0].astype(jnp.float32)  # [te, F_PAD, C_in] (32-bit rolls)
     te = t_tile + 8
-    c = w1_ref.shape[1]
 
-    # conv1: y1[c, j, i] at t=base+j-1, f=i-1; input col = i + df - 2.
-    y1m = jnp.zeros((c, te * lane), jnp.float32)
-    for dt in range(3):
-        ys = y if dt == 0 else jnp.concatenate(
-            [y[:, dt:, :], jnp.zeros((c_in, dt, lane), y.dtype)], axis=1)
-        for df in range(3):
-            slab = ys if df == 2 else pltpu.roll(ys, 2 - df, 2)
-            y1m = y1m + jnp.dot(w1_ref[dt * 3 + df],
-                                slab.reshape(c_in, te * lane),
-                                preferred_element_type=jnp.float32)
-    y1 = y1m.reshape(c, te, lane) + b1_ref[:]
-    y1 = jnp.maximum(y1, 0.0)
-    y1 = y1 * _edge_mask((te, lane), base, t_img, f_img)[None]
+    # conv1 -> y1 in E convention: y1[j] at t = base+j-1 needs window rows
+    # j + dt (up to te+1 -> zero-extend; the junk tail rows only affect y1
+    # rows >= te-2, which conv2 never consumes).
+    y1 = _conv3x3(_extend_rows(y, te + 2), w1_ref, te, 1)
+    y1 = jnp.maximum(y1 + b1_ref[0], 0.0)
+    y1 = y1 * _mask_e(te, y.shape[1], base, t_img, f_img)
 
-    z2 = jnp.zeros((c, t_tile * lane), jnp.float32)
-    for dt in range(3):
-        ys = y1[:, dt:dt + t_tile, :]
-        for df in range(3):
-            slab = ys if df == 0 else pltpu.roll(ys, (lane - df) % lane, 2)
-            z2 = z2 + jnp.dot(w2_ref[dt * 3 + df],
-                              slab.reshape(c, t_tile * lane),
-                              preferred_element_type=jnp.float32)
-    _relu_pool_write(z2, b2_ref, c, t_tile, lane, f_img, o_ref)
+    z2 = _conv3x3(y1, w2_ref, t_tile, 0)
+    _relu_pool_write(z2, b2_ref, t_tile, f_img, o_ref)
 
 
-def _w_cl(w):
-    """flax HWIO [3(f), 3(t), C_in, C_out] -> [9, C_out, C_in], k=dt*3+df."""
-    return jnp.transpose(w, (1, 0, 3, 2)).reshape(9, w.shape[3], w.shape[2])
+def _windows(xp, t_tile):
+    """[B, T+8, ...] -> overlapping halo windows [B, n_t, t_tile+8, ...]
+    gathered by XLA (cheap: block inputs are small) so the kernel sees
+    standard non-overlapping blocks (pipelined, vmap-batchable)."""
+    n_t = (xp.shape[1] - 8) // t_tile
+    idx = jnp.arange(n_t)[:, None] * t_tile + jnp.arange(t_tile + 8)[None, :]
+    return xp[:, idx]
 
 
-def _out_lane(f_img: int) -> int:
-    # pooled width + 2 so the next block's rolls wrap into zeroed junk
-    return _round(f_img // 2 + 2, 128)
+def _g_pad(f_img: int) -> int:
+    # pooled width + halo col + >=1 junk col (next block's rolls wrap into
+    # zeros); 8-mult so downstream (t, f) merges stay legal
+    return _round(f_img // 2 + 2, 8)
 
 
-def vgg_block1_cl(x, w1, b1, w2, b2, out_dtype=jnp.bfloat16,
-                  interpret=None):
-    """Fused block, C_in == 1, channel-leading I/O.
+def _const_specs(arrs):
+    return [
+        pl.BlockSpec(a.shape,
+                     functools.partial(lambda n, bi, ti: (0,) * n, a.ndim),
+                     memory_space=pltpu.VMEM)
+        for a in arrs
+    ]
 
-    x [B, T, F] -> [B, C, T//2, LANE_OUT] (col = pooled f, junk cols zero).
+
+def vgg_block1_fused(x, w1, b1, w2, b2, out_dtype=jnp.bfloat16,
+                     interpret=None):
+    """Fused block, C_in == 1.
+
+    x [B, T, F] -> [B, T//2, G_PAD, C] (col g = pooled f + 1, junk zero).
     """
     interpret = INTERPRET if interpret is None else interpret
     b, t_img, f_img = x.shape
     c = w1.shape[-1]
     t_tile = _pick_t_tile(t_img)
-    lane = _round(f_img + 2, 128)
-    lane_out = _out_lane(f_img)
+    lane_in = _round(f_img + 2, 128)
+    f_pad = _round(f_img + 2, 8)
+    g_pad = _g_pad(f_img)
 
     xp = jnp.pad(x.astype(jnp.float32),
-                 ((0, 0), (2, 6), (1, lane - f_img - 1)))
-    n_t = t_img // t_tile
+                 ((0, 0), (2, 6), (1, lane_in - f_img - 1)))
+    xw = _windows(xp, t_tile)  # [B, n_t, te, LANE_IN]
+    w1k = jnp.transpose(w1.reshape(3, 3, c), (1, 0, 2)).reshape(9, c)
+    w2k = _w9(w2)
+    b1c = b1.astype(jnp.float32).reshape(1, 1, c)
+    b2c = b2.astype(jnp.float32).reshape(1, 1, c)
+    kernel = functools.partial(_b1_kernel, f_img, t_img, t_tile, lane_in,
+                               f_pad)
     te = t_tile + 8
-    # overlapping halo windows gathered by XLA (cheap: input is small) so
-    # the kernel sees standard non-overlapping blocks
-    idx = jnp.arange(n_t)[:, None] * t_tile + jnp.arange(te)[None, :]
-    xw = xp[:, idx, :]  # [B, n_t, te, LANE]
-    w1k = jnp.transpose(w1.reshape(3, 3, c), (2, 1, 0)).reshape(c, 9)
-    w2k = _w_cl(w2)
-    b1c = b1.astype(jnp.float32).reshape(c, 1, 1)
-    b2c = b2.astype(jnp.float32).reshape(c, 1, 1)
-    kernel = functools.partial(_b1_kernel, f_img, t_img, t_tile, lane)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, c, t_img // 2, lane_out),
-                                       out_dtype),
-        grid=(b, n_t),
-        in_specs=[pl.BlockSpec((1, 1, te, lane),
+        out_shape=jax.ShapeDtypeStruct((b, t_img // 2, g_pad, c), out_dtype),
+        grid=(b, t_img // t_tile),
+        in_specs=[pl.BlockSpec((1, 1, te, lane_in),
                                lambda bi, ti: (bi, ti, 0, 0),
-                               memory_space=pltpu.VMEM)] + [
-            pl.BlockSpec(a.shape,
-                         functools.partial(lambda n, bi, ti: (0,) * n,
-                                           a.ndim),
-                         memory_space=pltpu.VMEM)
-            for a in (w1k, b1c, w2k, b2c)
-        ],
-        out_specs=pl.BlockSpec((1, c, t_tile // 2, lane_out),
-                               lambda bi, ti: (bi, 0, ti, 0),
+                               memory_space=pltpu.VMEM)]
+        + _const_specs((w1k, b1c, w2k, b2c)),
+        out_specs=pl.BlockSpec((1, t_tile // 2, g_pad, c),
+                               lambda bi, ti: (bi, ti, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
         cost_estimate=pl.CostEstimate(
             flops=2 * b * f_img * t_img * 9 * c * (1 + c),
             bytes_accessed=int(xw.size * 4
-                               + b * c * (t_img // 2) * lane_out * 2),
+                               + b * (t_img // 2) * g_pad * c * 2),
             transcendentals=0,
         ),
     )(xw, w1k, b1c, w2k, b2c)
 
 
-def vgg_block2_cl(y, f_img, w1, b1, w2, b2, out_dtype=jnp.bfloat16,
-                  interpret=None):
-    """Fused block, C_in > 1, channel-leading I/O.
+def vgg_block2_fused(y, f_img, w1, b1, w2, b2, out_dtype=jnp.bfloat16,
+                     interpret=None):
+    """Fused block, C_in > 1.
 
-    y [B, C_in, T, LANE] (col = f, cols >= f_img zero, LANE >= f_img+2)
-    -> [B, C_out, T//2, LANE_OUT].
+    y [B, T, F_PAD, C_in] (col i = f + 1, junk cols zero, F_PAD >= F+2)
+    -> [B, T//2, G_PAD, C_out].
     """
     interpret = INTERPRET if interpret is None else interpret
-    b, c_in, t_img, lane = y.shape
-    if lane % 128 or lane < f_img + 2:
-        raise ValueError(f"LANE {lane} must be 128-mult and >= F+2={f_img+2}")
+    b, t_img, f_pad, c_in = y.shape
+    if f_pad < f_img + 2:
+        raise ValueError(f"F_PAD {f_pad} must be >= F+2={f_img + 2}")
     c = w1.shape[-1]
     t_tile = _pick_t_tile(t_img)
-    lane_out = _out_lane(f_img)
+    g_pad = _g_pad(f_img)
 
-    yp = jnp.pad(y.astype(jnp.bfloat16), ((0, 0), (0, 0), (2, 6), (0, 0)))
-    n_t = t_img // t_tile
+    yp = jnp.pad(y.astype(jnp.bfloat16), ((0, 0), (2, 6), (0, 0), (0, 0)))
+    yw = _windows(yp, t_tile)  # [B, n_t, te, F_PAD, C_in]
+    w1k, w2k = _w9(w1), _w9(w2)
+    b1c = b1.astype(jnp.float32).reshape(1, 1, c)
+    b2c = b2.astype(jnp.float32).reshape(1, 1, c)
+    kernel = functools.partial(_b2_kernel, f_img, t_img, t_tile)
     te = t_tile + 8
-    idx = jnp.arange(n_t)[:, None] * t_tile + jnp.arange(te)[None, :]
-    # [B, C, T+8, L] -> windows [B, n_t, C, te, L]
-    yw = jnp.transpose(yp[:, :, idx, :], (0, 2, 1, 3, 4))
-    kernel = functools.partial(_b2_kernel, f_img, t_img, t_tile, lane, c_in)
-    w1k, w2k = _w_cl(w1), _w_cl(w2)
-    b1c = b1.astype(jnp.float32).reshape(c, 1, 1)
-    b2c = b2.astype(jnp.float32).reshape(c, 1, 1)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, c, t_img // 2, lane_out),
-                                       out_dtype),
-        grid=(b, n_t),
-        in_specs=[pl.BlockSpec((1, 1, c_in, te, lane),
+        out_shape=jax.ShapeDtypeStruct((b, t_img // 2, g_pad, c), out_dtype),
+        grid=(b, t_img // t_tile),
+        in_specs=[pl.BlockSpec((1, 1, te, f_pad, c_in),
                                lambda bi, ti: (bi, ti, 0, 0, 0),
-                               memory_space=pltpu.VMEM)] + [
-            pl.BlockSpec(a.shape,
-                         functools.partial(lambda n, bi, ti: (0,) * n,
-                                           a.ndim),
-                         memory_space=pltpu.VMEM)
-            for a in (w1k, b1c, w2k, b2c)
-        ],
-        out_specs=pl.BlockSpec((1, c, t_tile // 2, lane_out),
-                               lambda bi, ti: (bi, 0, ti, 0),
+                               memory_space=pltpu.VMEM)]
+        + _const_specs((w1k, b1c, w2k, b2c)),
+        out_specs=pl.BlockSpec((1, t_tile // 2, g_pad, c),
+                               lambda bi, ti: (bi, ti, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
         cost_estimate=pl.CostEstimate(
             flops=2 * b * f_img * t_img * 9 * c * (c_in + c),
             bytes_accessed=int(yw.size * 2
-                               + b * c * (t_img // 2) * lane_out * 2),
+                               + b * (t_img // 2) * g_pad * c * 2),
             transcendentals=0,
         ),
     )(yw, w1k, b1c, w2k, b2c)
@@ -308,22 +337,20 @@ def vgg_block_forward_pallas(
     interpret: bool = False,
     out_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
-    """Returns [B, T//2, F//2, C] (T-major). Transposes at the boundary;
-    use fused_vgg_stack to keep the channel-leading layout across blocks."""
+    """Returns [B, T//2, F//2, C] (T-major; the fused layout IS T-major, so
+    this is just the halo-column slice)."""
     c_in = w1.shape[2]
     if c_in == 1:
         b, t_img, f_img = x.shape[:3]
-        out = vgg_block1_cl(x.reshape(b, t_img, f_img), w1, b1, w2, b2,
-                            out_dtype=out_dtype, interpret=interpret)
+        out = vgg_block1_fused(x.reshape(b, t_img, f_img), w1, b1, w2, b2,
+                               out_dtype=out_dtype, interpret=interpret)
     else:
         b, t_img, f_img, _ = x.shape
-        lane = _round(f_img + 2, 128)
-        ycl = jnp.pad(jnp.transpose(x, (0, 3, 1, 2)),
-                      ((0, 0), (0, 0), (0, 0), (0, lane - f_img)))
-        out = vgg_block2_cl(ycl, f_img, w1, b1, w2, b2,
-                            out_dtype=out_dtype, interpret=interpret)
-    # [B, C, T/2, LANE_OUT] -> [B, T/2, F/2, C]
-    return jnp.transpose(out[:, :, :, : f_img // 2], (0, 2, 3, 1))
+        f_pad = _round(f_img + 2, 8)
+        ycl = jnp.pad(x, ((0, 0), (0, 0), (1, f_pad - f_img - 1), (0, 0)))
+        out = vgg_block2_fused(ycl, f_img, w1, b1, w2, b2,
+                               out_dtype=out_dtype, interpret=interpret)
+    return out[:, :, 1:1 + f_img // 2, :]
 
 
 def vgg_block_reference(x, w1, b1, w2, b2):
@@ -374,9 +401,9 @@ fused_vgg_block.defvjp(_fwd, _bwd)
 
 
 # ---------------------------------------------------------------------------
-# Full two-block stack (the model integration point): activations stay
-# channel-leading between the blocks; one cheap transpose on the small
-# pooled output. Backward recomputes through the XLA reference (remat
+# Full two-block stack (the model integration point): activations stay in
+# the fused layout between the blocks; only a halo-column slice + reshape
+# at the end. Backward recomputes through the XLA reference (remat
 # semantics); a fused backward kernel is the next optimization.
 # ---------------------------------------------------------------------------
 
@@ -392,12 +419,12 @@ def vgg_stack_reference(x, w1a, b1a, w2a, b2a, w1b, b1b, w2b, b2b):
 
 def _stack_fwd_impl(x, w1a, b1a, w2a, b2a, w1b, b1b, w2b, b2b):
     b, t_img, f_img = x.shape
-    y1 = vgg_block1_cl(x, w1a, b1a, w2a, b2a, interpret=INTERPRET)
+    y1 = vgg_block1_fused(x, w1a, b1a, w2a, b2a, interpret=INTERPRET)
     f2 = f_img // 2
-    y2 = vgg_block2_cl(y1, f2, w1b, b1b, w2b, b2b, interpret=INTERPRET)
+    y2 = vgg_block2_fused(y1, f2, w1b, b1b, w2b, b2b, interpret=INTERPRET)
     c2 = w1b.shape[-1]
     f4 = f2 // 2
-    out = jnp.transpose(y2[:, :, :, :f4], (0, 2, 3, 1))  # [B, T4, F4, C2]
+    out = y2[:, :, 1:1 + f4, :]  # [B, T4, F4, C2] — already T-major
     return out.reshape(b, t_img // 4, f4 * c2)
 
 

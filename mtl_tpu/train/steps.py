@@ -35,7 +35,6 @@ the same XLA program as the model — or as precomputed ``features``.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
