@@ -163,3 +163,63 @@ def test_fusion_scorer_roundtrip(tiny_lm, tmp_path):
     lm_score, num_words, oov3 = scorer.score_ids(ids, vocab)
     assert num_words == 3  # "the" + "你" + 1
     assert np.isfinite(lm_score)
+
+
+def test_seame_lm_corpus_builder(tmp_path):
+    """Raw SEAME-format transcripts -> LM corpus splits (corpus_builder
+    re-expression of lm/util/datahelper.py + texthelper.py)."""
+    from mtl_tpu.lm.corpus_builder import (build_lm_corpus,
+                                           preprocess_lm_sentence,
+                                           read_seame_transcripts)
+
+    # texthelper cleanup semantics
+    assert preprocess_lm_sentence("Hello, WORLD! (cough) 你好吗") == \
+        "hello world 你 好 吗"
+    assert preprocess_lm_sentence("a") == ""            # <=1 char filter
+    assert preprocess_lm_sentence("[noise]") == ""      # brackets removed
+    assert preprocess_lm_sentence("it's 好的", retokenize=False) == "it 's 好的"
+
+    # one file per (kind, phase) in the LDC layout; tab layouts differ
+    root = tmp_path / "seame"
+    cases = {
+        ("interview", "phaseI"):
+            "NI01MAX_0101\t0\t100\thello 世界 one\n",
+        ("interview", "phaseII"):
+            "NI02FBY_0202\t0\t100\textra\tsecond phase 语 句\n",
+        ("conversation", "phaseI"):
+            "02NC03MAX_0303\t0\t100\tconversation 内容 here\n",
+        ("conversation", "phaseII"):
+            "04NC04FBY_0404\t0\t100\textra\tmore 话 data\n",
+    }
+    for (kind, phase), line in cases.items():
+        d = root / kind / "transcript" / phase
+        d.mkdir(parents=True)
+        (d / "t.txt").write_text(line, encoding="utf-8")
+
+    speakers = read_seame_transcripts(str(root))
+    # interview speaker ids = id[0:4]; conversation = id[2:6]
+    assert set(speakers) == {"NI01", "NI02", "NC03", "NC04"}
+    assert speakers["NI01"] == ["hello 世 界 one"]
+    # phaseII is not retokenized (reference retokenize=False): ZH chars in a
+    # word keep the raw spacing from the transcript
+    assert speakers["NI02"] == ["second phase 语 句"]
+
+    paths = build_lm_corpus(speakers, str(tmp_path / "corpus"),
+                            valid_fraction=0.25, test_fraction=0.25)
+    lines = {
+        split: (tmp_path / "corpus" / f"{split}.txt").read_text(
+            encoding="utf-8").splitlines()
+        for split in ("train", "valid", "test")
+    }
+    assert sum(len(v) for v in lines.values()) == 4
+    # speaker-disjoint: each speaker's utterances live in exactly one split
+    assert all(len(v) >= 1 for v in lines.values())
+    vocab = (tmp_path / "corpus" / "vocab.txt").read_text(
+        encoding="utf-8").split()
+    assert all(w in vocab for line in lines["train"] for w in line.split())
+
+    # the produced files feed the LM Corpus directly
+    from mtl_tpu.lm.data import Corpus
+
+    c = Corpus(paths["train"], paths["valid"], paths["test"])
+    assert len(c.dictionary) > 4
