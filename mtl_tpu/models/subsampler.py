@@ -75,9 +75,9 @@ class _VGGBlockStack(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.fused:
-            # x: [B, T, F] -> [B, T//4, (F//4)*C2] via the channel-leading
-            # Pallas kernels (ops/vgg_pallas.py); param tree matches the
-            # nn.Conv path (Conv_0..Conv_3).
+            # x: [B, T, F] -> [B, T//4, (F//4)*C2] via the fused Pallas
+            # kernels (ops/vgg_pallas.py); param tree matches the nn.Conv
+            # path (Conv_0..Conv_3).
             from ..ops.vgg_pallas import fused_vgg_stack, vgg_stack_reference
 
             ws, c_in = [], 1

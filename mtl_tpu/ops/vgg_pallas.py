@@ -288,8 +288,9 @@ def vgg_block2_fused(y, f_img, w1, b1, w2, b2, out_dtype=jnp.bfloat16,
     """
     interpret = INTERPRET if interpret is None else interpret
     b, t_img, f_pad, c_in = y.shape
-    if f_pad < f_img + 2:
-        raise ValueError(f"F_PAD {f_pad} must be >= F+2={f_img + 2}")
+    if f_pad < f_img + 2 or f_pad % 8:
+        raise ValueError(
+            f"F_PAD {f_pad} must be an 8-multiple >= F+2={f_img + 2}")
     c = w1.shape[-1]
     t_tile = _pick_t_tile(t_img)
     g_pad = _g_pad(f_img)
