@@ -1,7 +1,11 @@
 """Host-side audio I/O and augmentation.
 
 Replaces the reference's torchaudio loading + sox subprocesses
-(utils/audio.py:7-61) with dependency-free numpy implementations:
+(utils/audio.py:7-61). The hot paths (WAV decode, tempo resample) have a
+native C++ core (native/audio_io.cpp, compiled on demand and bound via
+ctypes, like the edit-distance kernel) with numerically matching numpy
+fallbacks — the reference's audio path was native too (torchaudio C++ +
+the sox binary), and decode dominates the cold host-pipeline cost:
 
 * ``load_audio``: WAV (PCM16/PCM32/float32) decode via the stdlib ``wave``
   module, mean over channels (utils/audio.py:7-12 semantics), or ``.npy``
@@ -15,11 +19,70 @@ Replaces the reference's torchaudio loading + sox subprocesses
 
 from __future__ import annotations
 
+import ctypes
 import os
+import subprocess
 import wave
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libaudio.so")
+_SRC_PATH = os.path.join(_NATIVE_DIR, "audio_io.cpp")
+_lib: Optional[ctypes.CDLL] = None
+_lib_tried = False
+
+
+def _load_native() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_tried
+    if _lib is not None or _lib_tried:
+        return _lib
+    _lib_tried = True
+    try:
+        if not os.path.exists(_SO_PATH) or (
+            os.path.exists(_SRC_PATH)
+            and os.path.getmtime(_SRC_PATH) > os.path.getmtime(_SO_PATH)
+        ):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 _SRC_PATH, "-o", _SO_PATH],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(_SO_PATH)
+        lib.wav_probe.restype = ctypes.c_int32
+        lib.wav_probe.argtypes = [ctypes.c_char_p,
+                                  ctypes.POINTER(ctypes.c_int64),
+                                  ctypes.POINTER(ctypes.c_int32)]
+        lib.wav_decode.restype = ctypes.c_int32
+        lib.wav_decode.argtypes = [ctypes.c_char_p,
+                                   ctypes.POINTER(ctypes.c_float),
+                                   ctypes.c_int64]
+        lib.resample_linear_f32.restype = None
+        lib.resample_linear_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float)]
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def _native_decode(path: str) -> Optional[np.ndarray]:
+    lib = _load_native()
+    if lib is None:
+        return None
+    n = ctypes.c_int64()
+    sr = ctypes.c_int32()
+    p = path.encode()
+    if lib.wav_probe(p, ctypes.byref(n), ctypes.byref(sr)) != 0:
+        return None  # unsupported codec/container -> Python fallback
+    out = np.empty(n.value, np.float32)
+    if lib.wav_decode(p, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                      n.value) != 0:
+        return None
+    return out
 
 
 def _pcm_to_float(raw: bytes, width: int, path: str) -> np.ndarray:
@@ -103,6 +166,9 @@ def load_audio(path: str) -> np.ndarray:
         if y.ndim > 1:
             y = y.mean(axis=-1)
         return y.astype(np.float32)
+    y = _native_decode(path)
+    if y is not None:
+        return y
     try:
         with wave.open(path, "rb") as f:
             n_ch = f.getnchannels()
@@ -128,6 +194,14 @@ def get_audio_length(path: str, sample_rate: int = 16000) -> float:
 def resample_linear(y: np.ndarray, rate: float) -> np.ndarray:
     """Tempo change by factor ``rate`` (>1 = faster = shorter)."""
     n_out = max(1, int(round(len(y) / rate)))
+    lib = _load_native()
+    if lib is not None and len(y) > 1:
+        y32 = np.ascontiguousarray(y, np.float32)
+        out = np.empty(n_out, np.float32)
+        lib.resample_linear_f32(
+            y32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(y32),
+            n_out, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        return out
     x_old = np.arange(len(y), dtype=np.float64)
     x_new = np.linspace(0, len(y) - 1, n_out)
     return np.interp(x_new, x_old, y).astype(np.float32)

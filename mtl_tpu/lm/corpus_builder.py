@@ -53,7 +53,7 @@ def _squeeze_spaces(seq: str) -> str:
 
 def _segment_offline(seq: str) -> str:
     """Offline stand-in for CoreNLP word_tokenize: EN words stay words,
-    每个 ZH character becomes its own token (the convention the LM stack's
+    each ZH character becomes its own token (the convention the LM stack's
     Dictionary/ppl breakdown already uses)."""
     out: List[str] = []
     for word in seq.split(" "):
