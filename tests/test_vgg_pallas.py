@@ -170,3 +170,24 @@ def test_fused_subsampler_param_tree_matches_xla_path():
         np.testing.assert_allclose(out_f, out_x, atol=4e-2, rtol=2e-2)
     finally:
         vp.INTERPRET = old
+
+
+def test_second_order_forces_unfused_conv():
+    """custom_vjp cannot nest under grad-of-grad: --second-order must build
+    the XLA conv path even when --fused-vgg is requested."""
+    from mtl_tpu.config import Config
+    from mtl_tpu.models.transformer import build_model
+
+    cfg = Config()
+    cfg.model.fused_vgg = True
+    cfg.train.second_order = True
+    model = build_model(cfg, 40)
+    assert model.fused_vgg is False
+
+    cfg2 = Config()
+    cfg2.model.fused_vgg = True
+    cfg2.train.second_order = False
+    assert build_model(cfg2, 40).fused_vgg is True
+
+    cfg3 = Config()  # default: opt-in only
+    assert build_model(cfg3, 40).fused_vgg is False
