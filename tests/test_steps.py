@@ -190,3 +190,37 @@ def test_eval_step(setup):
     loss, aux = ev(state.params, batch)
     assert jnp.isfinite(loss)
     assert aux["hyp"].shape == aux["gold"].shape
+
+
+def test_meta_step_outer_grads_match_manual_first_order(setup):
+    """make_meta_step's flat first-order path (task_outer_grad_fo) produces
+    EXACTLY mean_k dL_q/dθ' at θ'_k = θ - lr*dL_s_k/dθ: recover the outer
+    grads from an sgd(1.0) update and compare to the manual computation."""
+    cfg, model, _, _, state = setup
+    cfg = tiny_cfg(lr=0.01, second_order=False, clip=False, copy_grad=True)
+    forward = make_forward_fn(model, cfg)
+    sup0 = feature_batch(jax.random.PRNGKey(30))
+    sup1 = feature_batch(jax.random.PRNGKey(31))
+    query = feature_batch(jax.random.PRNGKey(32))
+    support = jax.tree.map(lambda a, b: jnp.stack([a, b]), sup0, sup1)
+    params = state.params
+
+    # manual: per-task inner grad -> adapted -> query grad; mean over tasks
+    expected = None
+    for sup in (sup0, sup1):
+        gi = jax.grad(lambda p: forward(p, sup, None, False)[0])(params)
+        adapted = jax.tree.map(lambda w, g: w - 0.01 * g, params, gi)
+        gq = jax.grad(lambda p: forward(p, query, None, False)[0])(adapted)
+        expected = gq if expected is None else jax.tree.map(
+            jnp.add, expected, gq)
+    expected = jax.tree.map(lambda g: g / 2.0, expected)
+
+    outer_opt = optax.sgd(1.0)  # params_new = params - grads
+    step = make_meta_step(model, cfg, outer_opt)
+    st = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                    opt_state=outer_opt.init(params))
+    new_state, _ = step(st, support, query, jax.random.PRNGKey(33))
+    got = jax.tree.map(lambda old, new: old - new, params, new_state.params)
+    for e, g in zip(jax.tree.leaves(expected), jax.tree.leaves(got)):
+        np.testing.assert_allclose(np.asarray(e), np.asarray(g),
+                                   atol=1e-5, rtol=1e-3)
