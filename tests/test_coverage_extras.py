@@ -95,3 +95,18 @@ def test_beam_search_with_lm_fusion(tmp_path):
                             lm=lm, lm_rescoring=True, lm_weight=0.1)
     assert len(strs) >= 2
     assert all(isinstance(s, str) for s in strs)
+
+
+def test_fused_vgg_cli_flag_parsing():
+    """--fused-vgg / --no-fused-vgg / default-None plumb into ModelConfig."""
+    from mtl_tpu.config import build_parser, config_from_args
+
+    def parse(extra):
+        args = build_parser("t").parse_args(
+            ["--train-manifest-list", "a.csv", "--labels-path", "l.json"]
+            + extra)
+        return config_from_args(args)
+
+    assert parse([]).model.fused_vgg is None
+    assert parse(["--fused-vgg"]).model.fused_vgg is True
+    assert parse(["--no-fused-vgg"]).model.fused_vgg is False

@@ -406,3 +406,62 @@ def test_tp_spec_coverage_flagship():
         if spec == P() and not ALLOW_REPLICATED.search(path):
             uncovered.append(path)
     assert not uncovered, f"kernels with no TP rule or allowlist: {uncovered}"
+
+
+def test_sharded_joint_step_matches_single_device():
+    """Data-parallel joint training: the jitted joint step over a (task,
+    data)-sharded batch equals the single-device run (SURVEY §2.6 DP row)."""
+    ds = cpu_devices()
+    from mtl_tpu.models.transformer import ASRTransformer
+    from mtl_tpu.train.steps import init_train_state, make_joint_step
+
+    cfg = Config()
+    cfg.model.dtype = "float32"
+    model = ASRTransformer(
+        vocab_size=16, feat_extractor="vgg_cnn", num_enc_layers=1,
+        num_dec_layers=1, num_heads=2, dim_model=16, dim_key=8, dim_value=8,
+        dim_input=(12 // 4) * 128, dim_inner=16, dim_emb=16, dropout=0.0,
+        src_max_length=64, trg_max_length=32, r=4, dtype=jnp.float32,
+    )
+    opt = optax.adam(1e-3)
+    step = make_joint_step(model, cfg, opt)
+
+    k, b, t, f, l = 2, 4, 8, 12, 5
+    rng = np.random.RandomState(7)
+    batches = {
+        "features": rng.randn(k, b, t, f).astype(np.float32),
+        "input_lengths": np.full((k, b), t, np.int32),
+        "targets": rng.randint(4, 16, size=(k, b, l)),
+    }
+    ex = jax.tree.map(lambda x: jnp.asarray(x[0]), batches)
+    state = init_train_state(model, cfg, opt, jax.random.PRNGKey(0), ex)
+    drng = jax.random.PRNGKey(1)
+
+    cpu0 = ds[0]
+    state0 = jax.device_put(state, cpu0)
+    s1, loss1, _ = step(
+        state0, jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), cpu0),
+                             batches),
+        jax.device_put(drng, cpu0))
+
+    cfg.mesh = MeshConfig(task=2, data=4, model=1)
+    mesh = make_mesh(cfg, ds)
+    with mesh:
+        state_r = jax.device_put(state0, NamedSharding(mesh, P()))
+        b_s = jax.tree.map(
+            lambda x: jax.device_put(
+                np.asarray(x),
+                NamedSharding(mesh, P(*(("task", "data") + (None,) *
+                                        (np.asarray(x).ndim - 2)))),
+            ),
+            batches,
+        )
+        s2, loss2, _ = step(state_r, b_s, drng)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    p1 = jax.tree.leaves(jax.tree.map(np.asarray, s1.params))
+    p2 = jax.tree.leaves(jax.tree.map(np.asarray, s2.params))
+    # Adam's eps-divide amplifies reduction-order roundoff in near-zero
+    # gradient elements -> allow a few*1e-4 absolute on the updated params
+    for a, c in zip(p1, p2):
+        np.testing.assert_allclose(a, c, rtol=1e-3, atol=2e-4)
