@@ -423,7 +423,10 @@ def test_sharded_joint_step_matches_single_device():
         dim_input=(12 // 4) * 128, dim_inner=16, dim_emb=16, dropout=0.0,
         src_max_length=64, trg_max_length=32, r=4, dtype=jnp.float32,
     )
-    opt = optax.adam(1e-3)
+    # sgd(1.0): params_new = params - grads, so the param comparison below
+    # is a GRADIENT comparison (Adam's eps-divide makes near-zero gradient
+    # elements sign-sensitive to reduction order — not a meaningful check)
+    opt = optax.sgd(1.0)
     step = make_joint_step(model, cfg, opt)
 
     k, b, t, f, l = 2, 4, 8, 12, 5
@@ -459,9 +462,9 @@ def test_sharded_joint_step_matches_single_device():
         s2, loss2, _ = step(state_r, b_s, drng)
 
     np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
-    p1 = jax.tree.leaves(jax.tree.map(np.asarray, s1.params))
-    p2 = jax.tree.leaves(jax.tree.map(np.asarray, s2.params))
-    # Adam's eps-divide amplifies reduction-order roundoff in near-zero
-    # gradient elements -> allow a few*1e-4 absolute on the updated params
-    for a, c in zip(p1, p2):
-        np.testing.assert_allclose(a, c, rtol=1e-3, atol=2e-4)
+    g1 = jax.tree.map(lambda o, n: np.asarray(o) - np.asarray(n),
+                      state0.params, s1.params)
+    g2 = jax.tree.map(lambda o, n: np.asarray(o) - np.asarray(n),
+                      state0.params, s2.params)
+    for a, c in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(a, c, rtol=1e-4, atol=1e-6)
