@@ -23,7 +23,7 @@ import ctypes
 import os
 import subprocess
 import wave
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

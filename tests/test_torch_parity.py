@@ -26,7 +26,6 @@ deliberate divergences, handled explicitly here:
 
 from __future__ import annotations
 
-import sys
 import types
 
 import numpy as np
