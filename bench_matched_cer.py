@@ -51,18 +51,18 @@ META_LR = 1e-3
 SEED = 1234
 
 
-def tiny_cfg(num_labels: int):
+def tiny_cfg(num_labels: int, scale: int = 1):
     from mtl_tpu.config import Config
 
     cfg = Config()
-    cfg.model.num_enc_layers = 1
-    cfg.model.num_dec_layers = 2
-    cfg.model.num_heads = 2
-    cfg.model.dim_model = 64
-    cfg.model.dim_key = 16
-    cfg.model.dim_value = 16
-    cfg.model.dim_inner = 64
-    cfg.model.dim_emb = 64
+    cfg.model.num_enc_layers = 1 * scale
+    cfg.model.num_dec_layers = 2 * scale
+    cfg.model.num_heads = 2 * scale
+    cfg.model.dim_model = 64 * scale
+    cfg.model.dim_key = 16 * scale
+    cfg.model.dim_value = 16 * scale
+    cfg.model.dim_inner = 64 * scale
+    cfg.model.dim_emb = 64 * scale
     cfg.model.dropout = 0.0
     cfg.model.r = 16
     cfg.model.dtype = "float32"
@@ -369,15 +369,19 @@ def main():
     ap.add_argument("--torch-max-seconds", type=float, default=2400.0)
     ap.add_argument("--skip-torch", action="store_true")
     ap.add_argument("--skip-tpu", action="store_true")
+    ap.add_argument("--scale", type=int, default=1,
+                    help="model-width multiplier (2 = d_model 128 etc.) for "
+                         "a second matched-CER data point at larger scale")
     args = ap.parse_args()
 
     num_labels_cfg = tiny_cfg(0)
     tasks, vocab, t_max, l_max = build_data(num_labels_cfg)
-    cfg = tiny_cfg(vocab.size)
+    cfg = tiny_cfg(vocab.size, scale=args.scale)
     cfg.model.tgt_max_len = max(cfg.model.tgt_max_len, l_max + 2)
 
     utt_per_iter = K_TASKS * K_TRAIN + K_VALID
     out = {"protocol": {
+        "scale": args.scale,
         "k_tasks": K_TASKS, "k_train": K_TRAIN, "k_valid": K_VALID,
         "inner_lr": INNER_LR, "meta_lr": META_LR,
         "utt_per_iter": utt_per_iter, "target_cer": args.target_cer,
