@@ -40,6 +40,24 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 # provenance — CPU-vs-TPU caveat applies). utt/s.
 TORCH_CPU_BASELINE_UTT_PER_SEC = 0.576
 
+
+def matched_cer_speedups():
+    """Measured matched-CER speedups from bench_matched_cer.py's persisted
+    results (one entry per --scale); {} when that bench hasn't run here."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "matched_cer_results.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        results = json.load(f)
+    out = {}
+    for scale, r in sorted(results.items()):
+        tpu = r.get("mtl_tpu", {}).get("utt_per_sec")
+        ref = r.get("torch_reference_cpu", {}).get("utt_per_sec")
+        if tpu and ref:
+            out[scale] = round(tpu / ref, 1)
+    return out
+
 K_TASKS = 3
 K_TRAIN = 8
 K_VALID = 8
@@ -76,7 +94,8 @@ def run_tpu_bench(num_iters=20, warmup=3):
     cfg = _flagship_cfg()
     model = build_model(cfg, VOCAB_SIZE)
     outer_opt = optax.adam(cfg.train.meta_lr)
-    step = make_meta_step(model, cfg, outer_opt)
+    # donate like the trainers: saves the params+opt-state double-buffer
+    step = make_meta_step(model, cfg, outer_opt, donate=True)
 
     support, query = make_batches(cfg)
     support = jax.tree.map(jnp.asarray, support)
@@ -156,11 +175,13 @@ def main():
         "vs_baseline": round(value / baseline, 2) if baseline else None,
         "meta_step_ms": round(step_ms * 1000.0, 1),
         "greedy_decode_rtf": round(rtf, 2),
-        # measured by bench_matched_cer.py (same transplanted init, same
-        # batch stream, same transient algorithm vs the real /root/reference
-        # model; both reach <=10% CER at iteration 80) — BASELINE.md
-        "matched_cer_speedup_vs_reference_cpu": 60.4,
     }
+    # measured by bench_matched_cer.py (same transplanted init, same batch
+    # stream, same transient algorithm vs the real /root/reference model) —
+    # read from its persisted results, omitted if that bench hasn't run here
+    speedups = matched_cer_speedups()
+    if speedups:
+        out["matched_cer_speedup_vs_reference_cpu"] = speedups
     print(json.dumps(out))
 
 

@@ -177,6 +177,24 @@ def cer_of(hyps, golds, vocab, n_valid):
     return d, max(n, 1)
 
 
+def gold_strings(targets, vocab):
+    from mtl_tpu.data.vocab import post_process
+
+    return [post_process(vocab.decode_ids(row), vocab.special_token_list)
+            for row in targets]
+
+
+def cer_strings(hyp_strs, gold_strs):
+    from mtl_tpu.utils.metrics import calculate_cer
+
+    d = n = 0
+    for h, g in zip(hyp_strs, gold_strs):
+        h, g = h.replace(" ", ""), g.replace(" ", "")
+        d += calculate_cer(h, g)
+        n += len(g)
+    return d, max(n, 1)
+
+
 # ---------------------------------------------------------------------------
 # mtl_tpu side
 # ---------------------------------------------------------------------------
@@ -214,8 +232,10 @@ def run_tpu(cfg, vocab, tasks, t_max, l_max, args):
     init_params = jax.tree.map(np.asarray, state.params)
 
     evals = eval_batches(tasks, t_max, l_max)
+    decode_steps = args.decode_steps or (l_max + 2)
 
     def evaluate(params):
+        """Teacher-forced CER (the round-2 protocol)."""
         d_tot, n_tot = 0, 0
         for batch, n_valid in evals:
             _, aux = eval_step(params, to_dev(batch))
@@ -224,13 +244,32 @@ def run_tpu(cfg, vocab, tasks, t_max, l_max, args):
             n_tot += n
         return d_tot / n_tot
 
+    def evaluate_decode(params):
+        """Free-running greedy decode CER (the paper's metric; VERDICT r2
+        #3) — same horizon as the torch mirror."""
+        from mtl_tpu.data.vocab import SOS_ID
+        from mtl_tpu.decode.greedy import greedy_search
+
+        d_tot, n_tot = 0, 0
+        for (feats, lengths, targets), n_valid in evals:
+            hyps = greedy_search(model, params, jnp.asarray(feats),
+                                 jnp.asarray(lengths), vocab,
+                                 max_steps=decode_steps, start_token=SOS_ID)
+            golds = gold_strings(targets, vocab)
+            d, n = cer_strings(hyps[:n_valid], golds[:n_valid])
+            d_tot += d
+            n_tot += n
+        return d_tot / n_tot
+
+    score = evaluate if args.teacher_forced else evaluate_decode
+
     # warmup/compile on the first batches (excluded from timing)
     rng = jax.random.PRNGKey(5)
     state_w = state
     rng, sub = jax.random.split(rng)
     state_w, m = step(state_w, stack_support(sup0), to_dev(q0), sub)
     float(m["outer_loss"])
-    evaluate(state_w.params)
+    score(state_w.params)
     # re-init (the warmup step consumed/donated state) and restart the stream
     state = init_train_state(model, cfg, outer_opt, jax.random.PRNGKey(11),
                              ex)
@@ -238,22 +277,50 @@ def run_tpu(cfg, vocab, tasks, t_max, l_max, args):
 
     curve = []
     t0 = time.perf_counter()
+    eval_spent = 0.0  # eval cost excluded from the training-time curves
     rng = jax.random.PRNGKey(5)
+    beam_rtf = None
     for it in range(1, args.max_iters + 1):
         sup, q = stream.next_iter()
         rng, sub = jax.random.split(rng)
         state, m = step(state, stack_support(sup), to_dev(q), sub)
         if it % args.eval_every == 0 or it == args.max_iters:
             float(m["outer_loss"])  # sync
-            wall = time.perf_counter() - t0
-            cer = evaluate(state.params)
+            wall = time.perf_counter() - t0 - eval_spent
+            e0 = time.perf_counter()
+            cer = score(state.params)
+            eval_spent += time.perf_counter() - e0
             curve.append({"iter": it, "wall_s": round(wall, 2),
                           "cer": round(float(cer), 4)})
             print(f"[tpu] iter {it} wall {wall:.1f}s cer {cer:.3f}",
                   flush=True)
             if cer <= args.target_cer:
                 break
-    return init_params, curve
+    if not args.teacher_forced:
+        # beam RTF at the parity point (BASELINE.json: "beam-decode RTF at
+        # CER parity"): audio seconds decoded per wall second, width 8
+        from mtl_tpu.decode.beam import beam_search_grouped
+        from mtl_tpu.data.vocab import SOS_ID
+
+        hop_s = cfg.audio.hop_length / cfg.audio.sample_rate
+        # compile-warm the beam program before timing
+        (wf, wl, _), _ = evals[0]
+        beam_search_grouped(model, state.params, jnp.asarray(wf),
+                            jnp.asarray(wl), vocab, beam_width=8, nbest=1,
+                            max_steps=decode_steps, start_token=SOS_ID,
+                            c_weight=0.1)
+        b0 = time.perf_counter()
+        audio_s = 0.0
+        for (feats, lengths, targets), n_valid in evals:
+            beam_search_grouped(
+                model, state.params, jnp.asarray(feats),
+                jnp.asarray(lengths), vocab, beam_width=8, nbest=1,
+                max_steps=decode_steps, start_token=SOS_ID, c_weight=0.1,
+            )
+            audio_s += float(np.sum(lengths[:n_valid])) * hop_s
+        beam_rtf = audio_s / (time.perf_counter() - b0)
+        print(f"[tpu] beam RTF at parity point: {beam_rtf:.1f}x", flush=True)
+    return init_params, curve, beam_rtf
 
 
 # ---------------------------------------------------------------------------
@@ -291,6 +358,7 @@ def run_torch(cfg, vocab, tasks, t_max, l_max, init_params, args):
         return loss, pred, gold
 
     evals = eval_batches(tasks, t_max, l_max)
+    decode_steps = args.decode_steps or (l_max + 2)
 
     def evaluate():
         torch_model.eval()
@@ -305,9 +373,67 @@ def run_torch(cfg, vocab, tasks, t_max, l_max, init_params, args):
         torch_model.train()
         return d_tot / n_tot
 
+    def torch_greedy(enc, steps):
+        """The reference greedy loop (modules/decoder.py:131-184) with the
+        300-step constant parameterized so both frameworks decode the same
+        horizon: full decoder re-forward per step, argmax next token,
+        strings cut at the first EOS."""
+        import sys as _sys
+
+        _sys.path.append("/root/reference")
+        from modules.common_layers import get_subsequent_mask
+
+        dec = torch_model.decoder
+        ys = torch.ones(enc.size(0), 1).fill_(1).long()  # SOS
+        decoded = []
+        for _ in range(steps):
+            non_pad_mask = torch.ones_like(ys).float().unsqueeze(-1)
+            self_attn_mask = get_subsequent_mask(ys)
+            out = dec.dropout(dec.trg_embedding(ys) * dec.x_logit_scale
+                              + dec.positional_encoding(ys))
+            for layer in dec.layers:
+                out, _, _ = layer(out, enc, non_pad_mask=non_pad_mask,
+                                  self_attn_mask=self_attn_mask,
+                                  dec_enc_attn_mask=None)
+            prob = dec.output_linear(out)
+            _, next_word = torch.max(prob[:, -1], dim=1)
+            decoded.append([
+                rv.EOS_TOKEN if ni.item() == rv.EOS_ID
+                else rv.id2label[ni.item()] for ni in next_word.view(-1)
+            ])
+            ys = torch.cat([ys, next_word.unsqueeze(-1)], dim=1)
+        sent = []
+        for row in np.transpose(decoded):
+            st = ""
+            for e in row:
+                if e == rv.EOS_TOKEN:
+                    break
+                st += e
+            sent.append(st)
+        return sent
+
+    def evaluate_decode():
+        torch_model.eval()
+        d_tot, n_tot = 0, 0
+        with torch.no_grad():
+            for (feats, lengths, targets), n_valid in evals:
+                x = torch.from_numpy(feats).permute(0, 2, 1)[:, None]
+                enc = torch_model.encode(
+                    x, torch.from_numpy(lengths.astype(np.int64)))
+                hyps = torch_greedy(enc, decode_steps)
+                golds = gold_strings(targets, vocab)
+                d, n = cer_strings(hyps[:n_valid], golds[:n_valid])
+                d_tot += d
+                n_tot += n
+        torch_model.train()
+        return d_tot / n_tot
+
+    score = evaluate if args.teacher_forced else evaluate_decode
+
     stream = BatchStream(tasks, t_max, l_max)
     curve = []
     t0 = time.perf_counter()
+    eval_spent = 0.0
     names = [n for n, _ in torch_model.named_parameters()]
     for it in range(1, args.max_iters + 1):
         sup, q = stream.next_iter()
@@ -337,15 +463,17 @@ def run_torch(cfg, vocab, tasks, t_max, l_max, init_params, args):
         outer_opt.step()
 
         if it % args.eval_every == 0 or it == args.max_iters:
-            wall = time.perf_counter() - t0
-            cer = evaluate()
+            wall = time.perf_counter() - t0 - eval_spent
+            e0 = time.perf_counter()
+            cer = score()
+            eval_spent += time.perf_counter() - e0
             curve.append({"iter": it, "wall_s": round(wall, 2),
                           "cer": round(float(cer), 4)})
             print(f"[torch] iter {it} wall {wall:.1f}s cer {cer:.3f}",
                   flush=True)
             if cer <= args.target_cer:
                 break
-        if time.perf_counter() - t0 > args.torch_max_seconds:
+        if time.perf_counter() - t0 - eval_spent > args.torch_max_seconds:
             print("[torch] time budget exhausted", flush=True)
             break
     return curve
@@ -372,6 +500,12 @@ def main():
     ap.add_argument("--scale", type=int, default=1,
                     help="model-width multiplier (2 = d_model 128 etc.) for "
                          "a second matched-CER data point at larger scale")
+    ap.add_argument("--teacher-forced", action="store_true",
+                    help="score teacher-forced CER (round-2 protocol) "
+                         "instead of free-running greedy decode CER")
+    ap.add_argument("--decode-steps", type=int, default=0,
+                    help="decode horizon for both frameworks (0 = max "
+                         "transcript length + 2)")
     args = ap.parse_args()
 
     num_labels_cfg = tiny_cfg(0)
@@ -386,18 +520,23 @@ def main():
         "inner_lr": INNER_LR, "meta_lr": META_LR,
         "utt_per_iter": utt_per_iter, "target_cer": args.target_cer,
         "same_init": True, "same_batches": True,
+        "cer_metric": ("teacher_forced" if args.teacher_forced
+                       else "greedy_decode"),
         "features": "precomputed once, identical arrays, excluded from "
-                    "both timings",
+                    "both timings; eval wall time excluded from curves",
     }}
 
     init_params = None
     if not args.skip_tpu:
-        init_params, curve = run_tpu(cfg, vocab, tasks, t_max, l_max, args)
+        init_params, curve, beam_rtf = run_tpu(cfg, vocab, tasks, t_max,
+                                               l_max, args)
         s = summarize(curve, args.target_cer)
         if s["wall_s_to_target"]:
             s["utt_per_sec"] = round(
                 s["iters_to_target"] * utt_per_iter / s["wall_s_to_target"],
                 2)
+        if beam_rtf is not None:
+            s["beam_rtf_at_parity"] = round(beam_rtf, 1)
         out["mtl_tpu"] = s
         np.save("/tmp/cer_init_params.npy",
                 np.asarray([init_params], dtype=object), allow_pickle=True)
@@ -414,6 +553,17 @@ def main():
         out["torch_reference_cpu"] = s
 
     print(json.dumps(out))
+    # Persist keyed by scale so bench.py can report the measured speedup with
+    # provenance instead of a pasted constant (ADVICE r2).
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "matched_cer_results.json")
+    results = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            results = json.load(f)
+    results[f"scale_{args.scale}"] = out
+    with open(path, "w") as f:
+        json.dump(results, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -57,13 +57,20 @@ def meta_transfer_train_main(argv=None, trainer_cls=TransientTrainer):
     trainer = trainer_cls(model, cfg, vocab)
     log_print("Transient Trainer is initialized" if
               trainer_cls is TransientTrainer else "Meta Trainer is initialized")
+    disc = None
+    if cfg.train.adversarial or cfg.train.multitask:
+        # adversarial/multitask head in meta-validation
+        # (meta_trainer.py:243-263)
+        disc = Discriminator(cfg.train.num_class)
     state = trainer.train(train_ds, valid_sets, start_it=start_it,
-                          num_it=cfg.train.epochs, last_metrics=metrics)
+                          num_it=cfg.train.epochs, last_metrics=metrics,
+                          discriminator=disc)
     num_meta_test = getattr(args, "num_meta_test", 0)
     if num_meta_test and valid_sets:
         from ..train.trainer import meta_evaluate
 
-        meta_evaluate(trainer, state.params, train_ds, valid_sets,
+        params = state.base.params if disc is not None else state.params
+        meta_evaluate(trainer, params, train_ds, valid_sets,
                       num_meta_test=num_meta_test)
     return state
 

@@ -172,10 +172,15 @@ def main_main(argv=None):
     save_lm_ckpt(save_path, best_params, corpus.dictionary, args, ntokens)
     if corpus.test is not None:
         idx2word = {v: k for k, v in corpus.dictionary.word2idx.items()}
+        # per-word probability dump (lm/main.py:199,217-250 writes
+        # predictions/<log_name> during test evaluation)
+        os.makedirs("predictions", exist_ok=True)
+        dump_path = os.path.join("predictions", "lm_" + _log_name(args))
         res = evaluate_lm_test(model, best_params, corpus.test, idx2word,
-                               args.bptt)
+                               args.bptt, dump_path=dump_path)
         log_print("| End of training | test loss {:5.2f} | test ppl {:8.2f}"
                   .format(res["loss"], res["ppl"]))
+        log_print(f"PER-WORD PROBS: {dump_path}")
     log_print(f"SAVED {save_path}")
     return save_path
 
@@ -344,9 +349,13 @@ def test_main(argv=None):
     corpus = Corpus(args.test_path or args.train_path, None, None,
                     dictionary, args.seed)
     idx2word = {v: k for k, v in word2idx.items()}
-    res = evaluate_lm_test(model, params, corpus.train, idx2word, args.bptt)
+    os.makedirs("predictions", exist_ok=True)
+    dump_path = os.path.join("predictions", "lm_test_" + _log_name(args))
+    res = evaluate_lm_test(model, params, corpus.train, idx2word, args.bptt,
+                           dump_path=dump_path)
     log_print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
                           for k, v in res.items()}, ensure_ascii=False))
+    log_print(f"PER-WORD PROBS: {dump_path}")
     return res
 
 

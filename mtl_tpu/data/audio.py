@@ -45,11 +45,17 @@ def _load_native() -> Optional[ctypes.CDLL]:
             os.path.exists(_SRC_PATH)
             and os.path.getmtime(_SRC_PATH) > os.path.getmtime(_SO_PATH)
         ):
+            # Compile to a per-process temp path, then rename atomically:
+            # concurrent dataloader workers racing g++ on the same output
+            # file could CDLL a half-written .so and silently lose the
+            # native path for the whole run (ADVICE r2).
+            tmp = f"{_SO_PATH}.{os.getpid()}.tmp"
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 _SRC_PATH, "-o", _SO_PATH],
+                 _SRC_PATH, "-o", tmp],
                 check=True, capture_output=True,
             )
+            os.replace(tmp, _SO_PATH)
         lib = ctypes.CDLL(_SO_PATH)
         lib.wav_probe.restype = ctypes.c_int32
         lib.wav_probe.argtypes = [ctypes.c_char_p,
@@ -63,6 +69,14 @@ def _load_native() -> Optional[ctypes.CDLL]:
         lib.resample_linear_f32.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float)]
+        lib.flac_probe.restype = ctypes.c_int32
+        lib.flac_probe.argtypes = [ctypes.c_char_p,
+                                   ctypes.POINTER(ctypes.c_int64),
+                                   ctypes.POINTER(ctypes.c_int32)]
+        lib.flac_decode.restype = ctypes.c_int64
+        lib.flac_decode.argtypes = [ctypes.c_char_p,
+                                    ctypes.POINTER(ctypes.c_float),
+                                    ctypes.c_int64]
         _lib = lib
     except Exception:
         _lib = None
@@ -113,9 +127,8 @@ def _load_wav_riff(path: str) -> np.ndarray:
         header = f.read(12)
         if len(header) < 12 or header[:4] != b"RIFF" or header[8:12] != b"WAVE":
             raise ValueError(
-                f"unsupported audio container in {path!r}: not a RIFF/WAVE "
-                "file (mp3/flac/ogg need an external decoder; convert to wav "
-                "or .npy)"
+                f"unsupported audio container in {path!r}: not RIFF/WAVE, "
+                "FLAC, or mp3 (convert other codecs to wav/flac or .npy)"
             )
         fmt = None
         data = None
@@ -155,17 +168,132 @@ def _load_wav_riff(path: str) -> np.ndarray:
     return np.ascontiguousarray(y, dtype=np.float32)
 
 
+def _load_flac(path: str) -> np.ndarray:
+    """FLAC decode via the from-scratch native decoder (audio_io.cpp).
+
+    Real CommonVoice-style corpora ship compressed audio; the reference
+    reads them through torchaudio (utils/audio.py:7-9)."""
+    lib = _load_native()
+    if lib is None:
+        raise ValueError(
+            f"cannot decode FLAC {path!r}: native audio library unavailable "
+            "(g++ build failed?); convert to wav or .npy"
+        )
+    n = ctypes.c_int64()
+    sr = ctypes.c_int32()
+    p = path.encode()
+    if lib.flac_probe(p, ctypes.byref(n), ctypes.byref(sr)) != 0:
+        raise ValueError(f"malformed FLAC stream: {path!r}")
+    out = np.empty(n.value, np.float32)
+    got = lib.flac_decode(p, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                          n.value)
+    if got < 0:
+        raise ValueError(f"FLAC decode failed: {path!r}")
+    return out
+
+
+_mpg123 = None
+_MPG123_ENC_FLOAT_32 = 0x200
+_MPG123_DONE = -12
+_MPG123_NEW_FORMAT = -11  # informational: output format announced
+
+
+def _load_mpg123_lib():
+    """libmpg123 (a system library, like the reference's sox binary) for mp3."""
+    global _mpg123
+    if _mpg123 is not None:
+        return _mpg123
+    lib = ctypes.CDLL("libmpg123.so.0")
+    lib.mpg123_init()
+    lib.mpg123_new.restype = ctypes.c_void_p
+    lib.mpg123_new.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int)]
+    lib.mpg123_open.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.mpg123_getformat.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    lib.mpg123_format_none.argtypes = [ctypes.c_void_p]
+    lib.mpg123_format.argtypes = [ctypes.c_void_p, ctypes.c_long,
+                                  ctypes.c_int, ctypes.c_int]
+    lib.mpg123_read.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                ctypes.c_size_t,
+                                ctypes.POINTER(ctypes.c_size_t)]
+    lib.mpg123_close.argtypes = [ctypes.c_void_p]
+    lib.mpg123_delete.argtypes = [ctypes.c_void_p]
+    _mpg123 = lib
+    return lib
+
+
+def _load_mp3(path: str) -> np.ndarray:
+    lib = _load_mpg123_lib()
+    err = ctypes.c_int()
+    h = lib.mpg123_new(None, ctypes.byref(err))
+    if not h:
+        raise ValueError(f"mpg123 handle failed ({err.value}) for {path!r}")
+    try:
+        if lib.mpg123_open(h, path.encode()) != 0:
+            raise ValueError(f"cannot open mp3: {path!r}")
+        rate = ctypes.c_long()
+        channels = ctypes.c_int()
+        enc = ctypes.c_int()
+        lib.mpg123_getformat(h, ctypes.byref(rate), ctypes.byref(channels),
+                             ctypes.byref(enc))
+        # lock the output to float32 BEFORE the stream starts decoding
+        # (format changes after the first read are ignored): probe pass
+        # above fixed rate/channels, reopen with only float32 allowed
+        lib.mpg123_close(h)
+        lib.mpg123_format_none(h)
+        if lib.mpg123_format(h, rate, channels, _MPG123_ENC_FLOAT_32) != 0:
+            raise ValueError(f"mpg123 refused float32 output for {path!r}")
+        if lib.mpg123_open(h, path.encode()) != 0:
+            raise ValueError(f"cannot reopen mp3: {path!r}")
+        chunks = []
+        buf = ctypes.create_string_buffer(1 << 16)
+        done = ctypes.c_size_t()
+        while True:
+            rc = lib.mpg123_read(h, buf, len(buf), ctypes.byref(done))
+            if done.value:
+                chunks.append(np.frombuffer(buf.raw[: done.value],
+                                            np.float32).copy())
+            if rc == _MPG123_DONE:
+                break
+            if rc not in (0, _MPG123_NEW_FORMAT):
+                raise ValueError(f"mp3 decode error {rc} in {path!r}")
+        lib.mpg123_close(h)
+    finally:
+        lib.mpg123_delete(h)
+    if not chunks:
+        return np.zeros(0, np.float32)
+    y = np.concatenate(chunks)
+    if channels.value > 1:
+        y = y[: len(y) - len(y) % channels.value].reshape(
+            -1, channels.value).mean(axis=1)
+    return np.ascontiguousarray(y, np.float32)
+
+
+def _sniff(path: str) -> bytes:
+    with open(path, "rb") as f:
+        return f.read(4)
+
+
 def load_audio(path: str) -> np.ndarray:
     """Decode an audio file to float32 mono in [-1, 1].
 
-    Fast path: stdlib ``wave`` for plain PCM WAV; fallback: a minimal RIFF
-    parser for IEEE-float / extensible WAVs; ``.npy`` arrays for fixtures.
-    Non-WAV containers raise a clear error naming the remedy."""
+    Containers: PCM/float WAV (native C++ core + numpy fallback), FLAC
+    (from-scratch native decoder), mp3 (libmpg123), ``.npy`` arrays for
+    fixtures. The reference reads all of these through torchaudio
+    (utils/audio.py:7-12, channel-mean mixdown)."""
     if path.endswith(".npy"):
         y = np.load(path)
         if y.ndim > 1:
             y = y.mean(axis=-1)
         return y.astype(np.float32)
+    head = _sniff(path)
+    if head == b"fLaC":
+        return _load_flac(path)
+    if head[:3] == b"ID3" or (len(head) >= 2 and head[0] == 0xFF
+                              and (head[1] & 0xE0) == 0xE0
+                              and head[:4] != b"RIFF"):
+        return _load_mp3(path)
     y = _native_decode(path)
     if y is not None:
         return y
@@ -187,6 +315,18 @@ def get_audio_length(path: str, sample_rate: int = 16000) -> float:
     """Duration in seconds (utils/audio.py:14-18 soxi parity)."""
     if path.endswith(".npy"):
         return len(np.load(path, mmap_mode="r")) / sample_rate
+    head = _sniff(path)
+    if head == b"fLaC":
+        lib = _load_native()
+        n = ctypes.c_int64()
+        sr = ctypes.c_int32()
+        if lib is not None and lib.flac_probe(path.encode(), ctypes.byref(n),
+                                              ctypes.byref(sr)) == 0:
+            return n.value / max(sr.value, 1)
+        raise ValueError(f"cannot probe FLAC: {path!r}")
+    if head[:3] == b"ID3" or (head and head[0] == 0xFF and head[:4] != b"RIFF"
+                              and (head[1] & 0xE0) == 0xE0):
+        return len(_load_mp3(path)) / sample_rate
     with wave.open(path, "rb") as f:
         return f.getnframes() / f.getframerate()
 

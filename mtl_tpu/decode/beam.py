@@ -14,8 +14,15 @@ Algorithm parity (static-shape re-expression of the reference's loop):
 * decoding stops when every frontier slot is dead or max_steps is reached
   (at the horizon the reference appends EOS to survivors, :253-255 — the
   bank absorbs them the same way);
-* the final ranking — length bonus sqrt(num_words)*c_weight and LM fusion,
-  which need *strings* — runs on host over the bank, matching final_score;
+* the bank ranks ended hypotheses by the reference's FINAL score — the
+  length bonus ``sqrt(num_words)*c_weight`` is computed on device by
+  incremental word-run counting over the generated tokens (specials
+  PAD/SOS/EOS vanish from the string exactly like the reference's
+  ``.replace(token, "")``, decoder.py:265) — so a bounded bank cannot evict
+  a hypothesis that would win after rescoring (a raw-score bank could:
+  VERDICT r2 #3);
+* the final REPORTED ranking (strings + LM fusion, which needs host text)
+  recomputes final_score on host over the bank, matching decoder.py:261-270;
 * differences: the reference is a per-utterance Python loop re-forwarding
   the full prefix per hypothesis per step (no KV cache) and its bank is
   unbounded; here all utterances x beams advance in one jitted
@@ -34,13 +41,22 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.vocab import EOS_ID, Vocab, post_process
+from ..data.vocab import (
+    EOS_ID,
+    EOS_TOKEN,
+    PAD_ID,
+    PAD_TOKEN,
+    SOS_ID,
+    SOS_TOKEN,
+    Vocab,
+    post_process,
+)
 from ..models.transformer import ASRTransformer
 
 NEG_INF = -1.0e9
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8))
 def beam_decode_ids(
     model: ASRTransformer,
     params,
@@ -50,13 +66,18 @@ def beam_decode_ids(
     max_steps: int = 300,
     start_token: int = 1,
     bank_size: int = 0,  # 0 -> max(beam_width, 5)
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (bank_tokens [B, N, max_steps+1], bank_scores [B, N],
-    bank_lengths [B, N]) — the best N ended hypotheses per utterance, EOS
-    included at position length-1; empty slots have score <= NEG_INF/2."""
+    space_id: int = -1,  # vocab id of " " for device word counting
+    c_weight: jnp.ndarray | float = 0.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (bank_tokens [B, N, max_steps+1], bank_scores [B, N] raw
+    cumulative log-probs, bank_words [B, N] reference num_words,
+    bank_lengths [B, N]) — the best N ended hypotheses per utterance ranked
+    by final score (raw + sqrt(num_words)*c_weight), EOS included at
+    position length-1; empty slots have score <= NEG_INF/2."""
     b = features.shape[0]
     w = beam_width
     n_bank = bank_size or max(beam_width, 5)
+    c_weight = jnp.asarray(c_weight, jnp.float32)
     enc, enc_kvs = model.apply(
         params, features, input_lengths, method=ASRTransformer.prepare_decode
     )
@@ -74,17 +95,35 @@ def beam_decode_ids(
         jnp.concatenate([jnp.zeros((1,)), jnp.full((w - 1,), NEG_INF)]), (b,)
     ).reshape(b, w)
     tokens0 = jnp.zeros((b, w, max_steps + 1), jnp.int32)
-    bank_scores0 = jnp.full((b, n_bank), 2 * NEG_INF)
+    words0 = jnp.zeros((b, w), jnp.int32)
+    in_word0 = jnp.zeros((b, w), bool)
+    bank_keys0 = jnp.full((b, n_bank), 2 * NEG_INF)  # rank: final score
+    bank_scores0 = jnp.full((b, n_bank), 2 * NEG_INF)  # raw score
+    bank_words0 = jnp.zeros((b, n_bank), jnp.int32)
     bank_tokens0 = jnp.full((b, n_bank, max_steps + 1), EOS_ID, jnp.int32)
     bank_len0 = jnp.zeros((b, n_bank), jnp.int32)
 
-    def cond(state):
-        t, _, _, scores, *_ = state
-        return (t < max_steps) & jnp.any(scores > NEG_INF / 2)
+    def final_key(raw, words):
+        return raw + jnp.sqrt(jnp.maximum(words, 0).astype(jnp.float32)) \
+            * c_weight
+
+    def bank_insert(bank, cand):
+        """Merge retirement candidates into the bank, ranked by final key."""
+        (bank_keys, bank_scores, bank_words, bank_tokens, bank_len) = bank
+        (keys, raw, wds, toks, lens) = cand
+        all_keys = jnp.concatenate([bank_keys, keys], axis=1)
+        all_raw = jnp.concatenate([bank_scores, raw], axis=1)
+        all_words = jnp.concatenate([bank_words, wds], axis=1)
+        all_tokens = jnp.concatenate([bank_tokens, toks], axis=1)
+        all_len = jnp.concatenate([bank_len, lens], axis=1)
+        top_keys, idx = jax.lax.top_k(all_keys, n_bank)
+        take = lambda x: jnp.take_along_axis(x, idx, axis=1)
+        return (top_keys, take(all_raw), take(all_words),
+                jnp.take_along_axis(all_tokens, idx[:, :, None], axis=1),
+                take(all_len))
 
     def body(state):
-        (t, y_t, caches, scores, tokens,
-         bank_scores, bank_tokens, bank_len) = state
+        (t, y_t, caches, scores, tokens, words, in_word, bank) = state
         logits, caches = model.apply(
             params, y_t, t, enc_kvs, caches,
             method=ASRTransformer.decode_step,
@@ -110,20 +149,30 @@ def beam_decode_ids(
 
         tokens = gather_bw(tokens).at[:, :, t].set(next_tok)
 
+        # incremental reference num_words: specials (PAD/SOS/EOS) vanish
+        # from the joined string (joining their neighbours), a space ends
+        # the current word-run, any other token extends/starts one
+        # (decoder.py:265: strip specials -> collapse spaces -> split())
+        words = gather_bw(words)
+        in_word = gather_bw(in_word)
+        is_special = ((next_tok == PAD_ID) | (next_tok == SOS_ID)
+                      | (next_tok == EOS_ID))
+        is_space = next_tok == space_id
+        is_char = ~is_special & ~is_space
+        words = words + (is_char & ~in_word).astype(jnp.int32)
+        in_word = jnp.where(is_char, True, jnp.where(is_space, False,
+                                                     in_word))
+
         # EOS selections retire into the bank and their slot dies — the
         # reference's shrinking hyps -> ended_hyps move (decoder.py:257-276)
         is_eos = next_tok == EOS_ID
-        retire_scores = jnp.where(is_eos, top_scores, 2 * NEG_INF)
-        all_scores = jnp.concatenate([bank_scores, retire_scores], axis=1)
-        all_tokens = jnp.concatenate([bank_tokens, tokens], axis=1)
-        all_len = jnp.concatenate(
-            [bank_len, jnp.full((b, w), t + 1, jnp.int32)], axis=1
+        retire_raw = jnp.where(is_eos, top_scores, 2 * NEG_INF)
+        retire_keys = jnp.where(is_eos, final_key(top_scores, words),
+                                2 * NEG_INF)
+        bank = bank_insert(
+            bank, (retire_keys, retire_raw, words, tokens,
+                   jnp.full((b, w), t + 1, jnp.int32)),
         )
-        top_bank, bank_idx = jax.lax.top_k(all_scores, n_bank)
-        bank_scores = top_bank
-        bank_tokens = jnp.take_along_axis(all_tokens, bank_idx[:, :, None],
-                                          axis=1)
-        bank_len = jnp.take_along_axis(all_len, bank_idx, axis=1)
 
         new_scores = jnp.where(is_eos, NEG_INF, top_scores)
 
@@ -134,31 +183,31 @@ def beam_decode_ids(
             is_leaf=lambda x: isinstance(x, jnp.ndarray),
         )
         return (t + 1, next_tok.reshape(-1), caches, new_scores, tokens,
-                bank_scores, bank_tokens, bank_len)
+                words, in_word, bank)
 
-    state = (jnp.int32(0), y0, caches0, scores0, tokens0,
-             bank_scores0, bank_tokens0, bank_len0)
-    (t_end, _, _, scores, tokens, bank_scores, bank_tokens,
-     bank_len) = jax.lax.while_loop(cond, body, state)
+    def cond(state):
+        t, _, _, scores, *_ = state
+        return (t < max_steps) & jnp.any(scores > NEG_INF / 2)
 
-    # horizon retirement: survivors get EOS appended at their raw score
-    # (the reference's force-append, decoder.py:253-255)
+    bank0 = (bank_keys0, bank_scores0, bank_words0, bank_tokens0, bank_len0)
+    state = (jnp.int32(0), y0, caches0, scores0, tokens0, words0, in_word0,
+             bank0)
+    (t_end, _, _, scores, tokens, words, _, bank) = jax.lax.while_loop(
+        cond, body, state)
+
+    # horizon retirement: survivors get EOS appended (the reference's
+    # force-append, decoder.py:253-255)
     live = scores > NEG_INF / 2
-    retire_scores = jnp.where(live, scores, 2 * NEG_INF)
+    retire_raw = jnp.where(live, scores, 2 * NEG_INF)
+    retire_keys = jnp.where(live, final_key(scores, words), 2 * NEG_INF)
     tokens = jax.vmap(
         lambda tk, tt: tk.at[:, tt].set(EOS_ID), in_axes=(0, None)
     )(tokens, t_end)
-    all_scores = jnp.concatenate([bank_scores, retire_scores], axis=1)
-    all_tokens = jnp.concatenate([bank_tokens, tokens], axis=1)
-    all_len = jnp.concatenate(
-        [bank_len, jnp.full((b, w), 0, jnp.int32) + t_end + 1], axis=1
+    (_, bank_scores, bank_words, bank_tokens, bank_len) = bank_insert(
+        bank, (retire_keys, retire_raw, words, tokens,
+               jnp.full((b, w), 0, jnp.int32) + t_end + 1),
     )
-    top_bank, bank_idx = jax.lax.top_k(all_scores, n_bank)
-    bank_scores = top_bank
-    bank_tokens = jnp.take_along_axis(all_tokens, bank_idx[:, :, None],
-                                      axis=1)
-    bank_len = jnp.take_along_axis(all_len, bank_idx, axis=1)
-    return bank_tokens, bank_scores, bank_len
+    return bank_tokens, bank_scores, bank_words, bank_len
 
 
 def beam_search(
@@ -192,6 +241,16 @@ def beam_search(
     return batch_ids_nbest, batch_strs_nbest
 
 
+def _ref_num_words(ids, vocab: Vocab) -> int:
+    """The reference's num_words for the length bonus (decoder.py:265):
+    strip ONLY PAD/SOS/EOS token strings (OOV stays), collapse double
+    spaces, split on whitespace."""
+    raw = "".join(vocab.id2label[int(i)] for i in ids)
+    for tok in (PAD_TOKEN, SOS_TOKEN, EOS_TOKEN):
+        raw = raw.replace(tok, "")
+    return len(raw.replace("  ", " ").split())
+
+
 def beam_search_grouped(
     model: ASRTransformer,
     params,
@@ -211,9 +270,13 @@ def beam_search_grouped(
     best-first (the structured form of the reference's flat nbest append,
     modules/decoder.py:286-291 — test.py needs per-utterance grouping to
     align hyps with golds when nbest > 1)."""
-    tokens, scores, lengths = beam_decode_ids(
+    # under LM rescoring the device bank ranks by final-sans-LM — widen it
+    # so the LM reranking sees enough candidates
+    n_bank = max(nbest, beam_width) * (4 if lm_rescoring else 1)
+    tokens, scores, words, lengths = beam_decode_ids(
         model, params, features, input_lengths, beam_width, max_steps,
-        start_token, max(nbest, beam_width),
+        start_token, n_bank, vocab.label2id.get(" ", -1),
+        jnp.asarray(c_weight, jnp.float32),
     )
     tokens = np.asarray(tokens)
     scores = np.asarray(scores)
@@ -228,7 +291,9 @@ def beam_search_grouped(
                 continue  # empty bank slot
             ids = tokens[x, j, : lengths[x, j]].tolist()
             raw = "".join(vocab.id2label[int(i)] for i in ids)
-            s = post_process(raw, vocab.special_token_list).replace("  ", " ")
+            # exact post_process_hyp semantics (decoder.py:117-128): strip
+            # specials + "▁"->" ", NO double-space collapse
+            s = post_process(raw, vocab.special_token_list)
             if lm_rescoring and lm is not None:
                 lm_score, num_words, oov = lm.score_ids(
                     [start_token] + ids, vocab
@@ -236,7 +301,7 @@ def beam_search_grouped(
                 final = (scores[x, j] + lm_weight * (lm_score - 2 * oov)
                          + math.sqrt(max(num_words, 0)) * c_weight)
             else:
-                num_words = len(s.split())
+                num_words = _ref_num_words(ids, vocab)
                 final = scores[x, j] + math.sqrt(num_words) * c_weight
             hyps.append((float(final), ids, s))
         hyps.sort(key=lambda h: h[0], reverse=True)

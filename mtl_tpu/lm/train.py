@@ -190,9 +190,14 @@ def evaluate_lm(model: RNNLM, params, stream: np.ndarray, bptt: int,
 
 
 def evaluate_lm_test(model: RNNLM, params, source: np.ndarray,
-                     idx2word: dict, bptt: int) -> dict:
+                     idx2word: dict, bptt: int,
+                     dump_path: Optional[str] = None) -> dict:
     """Perplexity + code-switch transition breakdown (batch_size=1 like the
-    reference's test path)."""
+    reference's test path).
+
+    ``dump_path``: write the reference test loop's per-word probability file
+    (lm/main.py:217-250: one ``word\\tnext\\tp(next)\\tlogp(next)`` line per
+    position, blank line per stream)."""
     from ..utils.metrics import is_contain_chinese_word
 
     eval_step = make_lm_eval_step(model)
@@ -201,6 +206,7 @@ def evaluate_lm_test(model: RNNLM, params, source: np.ndarray,
     total_loss = 0.0
     buckets = {"en_en": [0.0, 0], "en_zh": [0.0, 0],
                "zh_en": [0.0, 0], "zh_zh": [0.0, 0]}
+    dump = open(dump_path, "w", encoding="utf-8") if dump_path else None
     i = 0
     n = len(data_source)
     while i < n - 1:
@@ -211,6 +217,11 @@ def evaluate_lm_test(model: RNNLM, params, source: np.ndarray,
         for j in range(data.shape[0]):
             sw = idx2word[int(data[j, 0])]
             tw = idx2word[int(target[j])]
+            if dump is not None:
+                # tok_loss[j] = -logp(target_j) -> the reference's
+                # word_val / word_val_log pair (lm/main.py:223-234)
+                logp = -float(tok_loss[j])
+                dump.write(f"{sw}\t{tw}\t{math.exp(logp)}\t{logp}\n")
             if sw == "<eos>" or tw == "<eos>":
                 continue
             key = ("zh" if is_contain_chinese_word(sw) else "en") + "_" + (
@@ -219,6 +230,9 @@ def evaluate_lm_test(model: RNNLM, params, source: np.ndarray,
             buckets[key][0] += float(tok_loss[j])
             buckets[key][1] += 1
         i += bptt
+    if dump is not None:
+        dump.write("\n")
+        dump.close()
     out = {"loss": total_loss / max(n, 1)}
     out["ppl"] = math.exp(out["loss"])
     for k, (s, c) in buckets.items():

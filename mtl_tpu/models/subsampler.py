@@ -84,7 +84,10 @@ class _VGGBlockStack(nn.Module):
             for idx, ch in enumerate(c for c in self.channels for _ in "xx"):
                 ws.extend(_ConvParams(ch, c_in, name=f"Conv_{idx}")())
                 c_in = ch
-            if x.shape[1] % 8:  # kernel needs 8|T; same params either way
+            # Both fused blocks need an 8-divisible time extent; block 2 runs
+            # at T//2, so T must be a multiple of 16 (ADVICE r2: T = 8 mod 16
+            # crashed _pick_t_tile at trace time). Same params either way.
+            if x.shape[1] % 16:
                 return vgg_stack_reference(x, *ws)
             return fused_vgg_stack(x, *ws)
         for ch in self.channels:

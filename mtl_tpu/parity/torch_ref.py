@@ -162,6 +162,66 @@ def flax_to_torch_state(params: dict, f_prime: int, channels: int,
     return sd
 
 
+def rnnlm_to_torch_state(params: dict, nlayers: int, tie_weights: bool = False
+                         ) -> dict:
+    """Map an mtl_tpu RNNLM (LSTM) param tree onto the reference RNNModel's
+    state_dict key space (lm/model/rnn_model.py:12-70 == utils/lm.py:134-197).
+
+    Flax LSTMCell keeps one dense per gate (ii/if/ig/io input, hi/hf/hg/ho
+    hidden with bias); torch nn.LSTM concatenates gates row-wise in
+    (i, f, g, o) order with separate ih/hh biases — the flax bias lands in
+    bias_hh, bias_ih is zeroed (their sum is what the cell adds)."""
+    import torch
+
+    p = params["params"]
+    sd = {"encoder.weight": _t(p["embed"]["embedding"])}
+    for layer in range(nlayers):
+        cell = p[f"rnn_l{layer}"]
+        w_ih = np.concatenate(
+            [np.asarray(cell[g]["kernel"], np.float32).T
+             for g in ("ii", "if", "ig", "io")], axis=0)
+        w_hh = np.concatenate(
+            [np.asarray(cell[g]["kernel"], np.float32).T
+             for g in ("hi", "hf", "hg", "ho")], axis=0)
+        b_hh = np.concatenate(
+            [np.asarray(cell[g]["bias"], np.float32)
+             for g in ("hi", "hf", "hg", "ho")], axis=0)
+        sd[f"rnn.weight_ih_l{layer}"] = _t(w_ih)
+        sd[f"rnn.weight_hh_l{layer}"] = _t(w_hh)
+        sd[f"rnn.bias_ih_l{layer}"] = torch.zeros(len(b_hh))
+        sd[f"rnn.bias_hh_l{layer}"] = _t(b_hh)
+    if tie_weights:
+        sd["decoder.weight"] = sd["encoder.weight"]
+        sd["decoder.bias"] = _t(p["decoder_bias"])
+    else:
+        sd["decoder.weight"] = _t(np.asarray(p["decoder"]["kernel"]).T)
+        sd["decoder.bias"] = _t(p["decoder"]["bias"])
+    return sd
+
+
+def save_torch_lm_checkpoint(path: str, params: dict, word2idx: dict,
+                             arch: dict) -> str:
+    """Write the converted-LM checkpoint format utils/lm.py:LM loads
+    (lm/convert.py:433-448: word2idx/idx2word/arch/model_state_dict) from an
+    mtl_tpu RNNLM param tree — the torch side of LM-fusion parity tests."""
+    import torch
+
+    sd = rnnlm_to_torch_state(params, arch["nlayers"],
+                              arch.get("tie_weights", False))
+    torch.save({
+        "word2idx": word2idx,
+        "idx2word": {v: k for k, v in word2idx.items()},
+        "ntoken": arch["ntoken"],
+        "ninp": arch["ninp"],
+        "nhid": arch["nhid"],
+        "nlayers": arch["nlayers"],
+        "dropout": arch.get("dropout", 0.0),
+        "tie_weights": arch.get("tie_weights", False),
+        "model_state_dict": sd,
+    }, path)
+    return path
+
+
 def build_ref_model(ref, ref_vocab, cfg, flax_params, f_prime: int,
                     channels: int):
     """Construct the reference Transformer from an mtl_tpu Config and load

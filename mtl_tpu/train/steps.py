@@ -35,6 +35,7 @@ the same XLA program as the model — or as precomputed ``features``.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -134,12 +135,18 @@ def _clip_tree(grads, max_norm: float):
 # Joint / plain step
 # ---------------------------------------------------------------------------
 
-def make_joint_step(model, cfg: Config, optimizer) -> Callable:
+def make_joint_step(model, cfg: Config, optimizer,
+                    donate: bool = False) -> Callable:
     """One jitted joint-training iteration over stacked task batches.
 
     ``batches``: pytree whose leaves have a leading task axis K (K=1 for the
     plain epoch trainer). Gradient = grad of mean-over-tasks loss — identical
     to the reference's accumulate-(loss/K)-then-step (joint_trainer.py:226-266).
+
+    ``donate``: donate the input TrainState buffers to the output (saves a
+    params+opt-state double-buffer in HBM). The trainers enable it (they
+    never reuse the old state); default off so callers may inspect the
+    pre-step state.
     """
     forward = make_forward_fn(model, cfg)
 
@@ -153,7 +160,7 @@ def make_joint_step(model, cfg: Config, optimizer) -> Callable:
         losses, aux = jax.vmap(one, in_axes=(0, 0))(batches, rngs)
         return jnp.mean(losses), aux
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(state: TrainState, batches, dropout_rng):
         (loss, aux), grads = jax.value_and_grad(joint_loss, has_aux=True)(
             state.params, batches, dropout_rng
@@ -180,6 +187,7 @@ def make_meta_step(
     outer_optimizer,
     per_task_query: bool = False,
     space_id: Optional[int] = None,
+    donate: bool = False,
 ) -> Callable:
     """One jitted meta iteration.
 
@@ -245,7 +253,7 @@ def make_meta_step(
         grads = jax.tree.map(lambda t: jnp.mean(t, axis=0), gq)
         return (jnp.mean(losses), (s_losses, s_aux, q_aux)), grads
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(state: TrainState, support, query, dropout_rng):
         if second_order:
             (loss, (s_losses, s_aux, q_aux)), grads = jax.value_and_grad(

@@ -26,6 +26,24 @@ def _ckpt_dir(cfg: Config, tag: str) -> str:
     return os.path.abspath(os.path.join(cfg.save_folder, cfg.name, tag))
 
 
+def _fetch_tree_bulk(tree):
+    """device->host fetch with every copy in flight before any blocking
+    wait. jax.device_get (and orbax's own serializer) fetch leaves one at a
+    time, each a blocking round-trip — catastrophic over the remote-TPU
+    tunnel (~seconds per leaf when it degrades). Starting all the D2H
+    copies async first collapses that to one round-trip overall."""
+    leaves, treedef = jax.tree.flatten(tree)
+    for x in leaves:
+        if isinstance(x, jax.Array):
+            try:
+                x.copy_to_host_async()
+            except Exception:
+                pass  # e.g. non-addressable shards; np.asarray still works
+    return treedef.unflatten(
+        [np.asarray(x) if isinstance(x, jax.Array) else x for x in leaves]
+    )
+
+
 def save_checkpoint(
     cfg: Config,
     vocab: Vocab,
@@ -39,6 +57,9 @@ def save_checkpoint(
     tag = "best_model" if best_model else f"step_{step}"
     path = _ckpt_dir(cfg, tag)
     ckptr = ocp.PyTreeCheckpointer()
+    # bulk-fetch to host first (see _fetch_tree_bulk); also gathers
+    # mesh-sharded states to host for a portable single-file checkpoint
+    state = _fetch_tree_bulk(state)
     ckptr.save(os.path.join(path, "state"), state, force=True)
     meta = {
         "config": json.loads(cfg.to_json()),
@@ -65,7 +86,26 @@ def load_checkpoint(
     vocab = Vocab.from_dict(meta["vocab"])
     ckptr = ocp.PyTreeCheckpointer()
     if target is not None:
-        state = ckptr.restore(os.path.join(path, "state"), item=target)
+        # Restore to HOST numpy first, then move leaves deviceward in an
+        # async sweep: letting orbax deserialize directly onto the target's
+        # devices issues a blocking per-leaf host->device round-trip, which
+        # is catastrophically slow over the remote-TPU tunnel (~minutes for
+        # a tiny state; sibling of the save-side device_get fix above).
+        # device_put calls don't block, so the transfers all overlap.
+        def _rarg(x):
+            if hasattr(x, "shape") and hasattr(x, "dtype"):
+                return ocp.RestoreArgs(restore_type=np.ndarray,
+                                       dtype=x.dtype)
+            return ocp.RestoreArgs()
+
+        restore_args = jax.tree.map(_rarg, target)
+        host = ckptr.restore(os.path.join(path, "state"), item=target,
+                             restore_args=restore_args)
+        state = jax.tree.map(
+            lambda h, t: (jax.device_put(h, getattr(t, "sharding", None))
+                          if isinstance(t, jax.Array) else h),
+            host, target,
+        )
     else:
         state = ckptr.restore(os.path.join(path, "state"))
     return cfg, vocab, state, meta["step"], meta.get("metrics", {})

@@ -4,6 +4,13 @@ of testing multi-node without a cluster — SURVEY.md §4)."""
 
 import os
 
+# setdefault on purpose: under axon (remote TPU tunnel) the env exports
+# JAX_PLATFORMS=axon and the suite runs there — this 1-core host makes the
+# CPU backend far slower than the tunnel (single-threaded XLA compiles; 8
+# virtual devices time-slice one core), so only the tests that NEED the
+# 8-device mesh, or true-f32 torch parity, pin jax.devices("cpu") leaves.
+# Checkpoint I/O must stay bulk (utils/checkpoint.py) — per-leaf transfers
+# through the tunnel turn a 1 s save/restore into minutes.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

@@ -73,8 +73,9 @@ def test_beam_width1_equals_greedy(setup):
     max_steps = 6
     g = np.asarray(greedy_decode_ids(model, params, feats, lengths,
                                      max_steps, SOS_ID, False))
-    tokens, scores, blen = beam_decode_ids(model, params, feats, lengths, 1,
-                                           max_steps, SOS_ID)
+    tokens, scores, _words, blen = beam_decode_ids(model, params, feats,
+                                                   lengths, 1, max_steps,
+                                                   SOS_ID)
     tokens = np.asarray(tokens)
     blen = np.asarray(blen)
     for x in range(g.shape[0]):
@@ -88,8 +89,8 @@ def test_beam_width1_equals_greedy(setup):
 
 def test_beam_bank_sorted_and_finite(setup):
     model, params, feats, lengths = setup
-    tokens, scores, blen = beam_decode_ids(model, params, feats, lengths, 3,
-                                           6, SOS_ID)
+    tokens, scores, _words, blen = beam_decode_ids(model, params, feats,
+                                                   lengths, 3, 6, SOS_ID)
     s = np.asarray(scores)
     assert s.shape[0] == 2
     assert (np.diff(s, axis=1) <= 1e-5).all()  # sorted desc

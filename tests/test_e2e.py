@@ -177,6 +177,44 @@ def test_trainer_resume_restores_params(tiny_cfg, tmp_path):
     assert max(diffs) < 5 * cfg.train.meta_lr, max(diffs)
 
 
+def test_epoch_trainer_resume_restores_params(tiny_cfg, tmp_path):
+    """EpochTrainer --continue-from parity (reference train.py:145-157 /
+    utils/functions.py:220-265: restore model + NoamOpt) — VERDICT r2 #7a."""
+    from mtl_tpu.models.transformer import build_model
+    from mtl_tpu.train.optim import make_epoch_optimizer
+    from mtl_tpu.train.steps import init_train_state
+    from mtl_tpu.train.trainer import EpochTrainer
+    from mtl_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = tiny_cfg
+    cfg.save_folder = str(tmp_path)
+    cfg.data.batch_size = 2
+    vocab = Vocab.from_json(cfg.data.labels_path)
+    # single train manifest, like the reference's train.py: a multi-manifest
+    # train dataset is a 30000-sample sampling pool (reference cap), so an
+    # "epoch" over it would be 15000 batches
+    ds = SpectrogramDataset(vocab, cfg, cfg.data.train_manifest_list[:1],
+                            is_train=True, seed=5)
+    model = build_model(cfg, len(vocab))
+    opt = make_epoch_optimizer(cfg)
+    ex = next(ds.iter_batches(cfg.data.batch_size))
+    marked = init_train_state(model, cfg, opt, jax.random.PRNGKey(99), ex)
+    path = save_checkpoint(cfg, vocab, marked, 3)
+
+    cfg.continue_from = path
+    trainer = EpochTrainer(model, cfg, vocab)
+    state = trainer.train(ds, [], start_epoch=3, num_epochs=4)
+    cfg.continue_from = ""
+    # one epoch of Noam-warmup steps from the restored params stays close to
+    # the checkpoint; a fresh init would differ by O(weight scale)
+    diffs = [
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(jax.tree.leaves(state.params),
+                        jax.tree.leaves(marked.params))
+    ]
+    assert max(diffs) < 0.05, max(diffs)
+
+
 def test_checkpoint_roundtrip(tiny_cfg, tmp_path):
     import optax
 

@@ -141,6 +141,34 @@ def test_evaluate_lm(tiny_lm):
     assert abs(loss - math.log(30)) < 1.5
 
 
+def test_evaluate_lm_test_per_word_dump(tiny_lm, corpus_files, tmp_path):
+    """The test loop's per-word probability dump (lm/main.py:217-250):
+    word \\t next \\t p \\t logp lines whose values exponentiate/sum back to
+    the reported loss — VERDICT r2 #7c."""
+    from mtl_tpu.lm.train import evaluate_lm_test
+
+    model, params = tiny_lm
+    c = Corpus(corpus_files[0])
+    idx2word = {v: k for k, v in c.dictionary.word2idx.items()}
+    # token ids must be < ntoken=30 for the tiny model
+    source = np.asarray(c.train, np.int32) % 30
+    dump = str(tmp_path / "preds.txt")
+    res = evaluate_lm_test(model, params, source, idx2word, bptt=5,
+                           dump_path=dump)
+    lines = [l for l in open(dump, encoding="utf-8").read().splitlines() if l]
+    # one line per scored position (bptt windows over n-1 positions)
+    assert len(lines) >= len(source) - 1 - 5
+    total = 0.0
+    for line in lines:
+        w, nxt, p, logp = line.split("\t")
+        assert math.isclose(float(p), math.exp(float(logp)), rel_tol=1e-6)
+        total += -float(logp)
+    # the per-word NLLs sum back to the reported total loss
+    # (res["loss"] = sum-of-position-NLLs / len(source))
+    assert total > 0
+    assert math.isclose(total, res["loss"] * len(source), rel_tol=0.05)
+
+
 def test_fusion_scorer_roundtrip(tiny_lm, tmp_path):
     from mtl_tpu.data.vocab import Vocab
     from mtl_tpu.lm.fusion import LMScorer, save_lm_fusion

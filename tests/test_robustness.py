@@ -294,8 +294,16 @@ def test_load_audio_float_wav(tmp_path):
 def test_load_audio_unsupported_container_message(tmp_path):
     from mtl_tpu.data.audio import load_audio
 
+    # genuinely unsupported container (ogg) -> actionable guidance
+    p = str(tmp_path / "clip.ogg")
+    with open(p, "wb") as f:
+        f.write(b"OggS\x00\x02" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="convert"):
+        load_audio(p)
+    # supported container (mp3 by ID3 magic) but a corrupt stream -> a
+    # clear decode error, not silence/garbage
     p = str(tmp_path / "fake.mp3.wav")
     with open(p, "wb") as f:
-        f.write(b"ID3\x04\x00" + b"\x00" * 64)  # mp3-ish garbage
-    with pytest.raises(ValueError, match="convert"):
+        f.write(b"ID3\x04\x00" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="mp3"):
         load_audio(p)

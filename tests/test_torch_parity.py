@@ -289,6 +289,183 @@ def test_conv_extractor_parity(ref, extractor, channels, conv_indices):
                                rtol=1e-4, atol=1e-5)
 
 
+# --------------------------------------------------------------------------
+# Beam-search parity (VERDICT r2 #2)
+# --------------------------------------------------------------------------
+
+# a vocab WITH a space label so hypotheses have varying word counts (the
+# length bonus sqrt(num_words)*c_weight must discriminate)
+LABELS_SP = list("abc defg")
+
+
+def build_pair_labels(ref, labels, seed=11):
+    """build_pair with a custom label set (module-global LABELS elsewhere)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mtl_tpu.data.vocab import Vocab
+    from mtl_tpu.models.transformer import ASRTransformer
+    from mtl_tpu.ops.targets import make_teacher_forcing
+
+    rv = ref.Vocab()
+    mv = Vocab()
+    for c in labels:
+        rv.add_label(c)
+        mv.add_label(c)
+    v = 4 + len(labels)
+    dim_input = (F_BINS // 4) * 128
+    model = ASRTransformer(
+        vocab_size=v, feat_extractor="vgg_cnn", dim_input=dim_input,
+        dropout=0.0, src_max_length=SRC_MAX, trg_max_length=TGT_MAX,
+        is_factorized=False, dtype=jnp.float32, **DIMS,
+    )
+    feats, lengths, _ = _batch()
+    targets = np.random.RandomState(seed).randint(4, v, size=(3, 6))
+    seq_in, _ = make_teacher_forcing(jnp.asarray(targets))
+    params = model.init(jax.random.PRNGKey(seed), jnp.asarray(feats),
+                        jnp.asarray(lengths), seq_in)
+
+    torch_enc = ref.Encoder(
+        DIMS["num_enc_layers"], DIMS["num_heads"], DIMS["dim_model"],
+        DIMS["dim_key"], DIMS["dim_value"], dim_input, DIMS["dim_inner"],
+        dropout=0.0, src_max_length=SRC_MAX, is_factorized=False, r=DIMS["r"],
+    )
+    torch_dec = ref.Decoder(
+        rv, DIMS["num_dec_layers"], DIMS["num_heads"], DIMS["dim_emb"],
+        DIMS["dim_model"], DIMS["dim_inner"], DIMS["dim_key"],
+        DIMS["dim_value"], dropout=0.0, trg_max_length=TGT_MAX,
+        is_factorized=False, r=DIMS["r"],
+    )
+    torch_model = ref.Transformer(torch_enc, torch_dec, rv,
+                                  feat_extractor="vgg_cnn",
+                                  is_factorized=False, r=DIMS["r"])
+    sd = flax_to_torch_state(params, f_prime=F_BINS // 4, channels=128)
+    missing, unexpected = torch_model.load_state_dict(sd, strict=False)
+    assert not unexpected, unexpected
+    leftover = [k for k in missing if not k.endswith("positional_encoding.pe")]
+    assert not leftover, leftover
+    torch_model.eval()
+    return model, params, torch_model, rv, mv
+
+
+@pytest.fixture(scope="module")
+def pair_space(ref):
+    return build_pair_labels(ref, LABELS_SP)
+
+
+def _ref_beam(torch_model, feats, lengths, beam_width, nbest, c_weight,
+              lm=None, lm_weight=0.1, start_token=1):
+    x = torch.from_numpy(feats).permute(0, 2, 1)[:, None]
+    with torch.no_grad():
+        enc = torch_model.encode(
+            x, torch.from_numpy(lengths.astype(np.int64)))
+        args = types.SimpleNamespace(cuda=False, tgt_max_len=300)
+        ids, strs = torch_model.decoder.beam_search(
+            enc, args, beam_width=beam_width, nbest=nbest,
+            lm_rescoring=lm is not None, lm=lm, lm_weight=lm_weight,
+            c_weight=c_weight, start_token=start_token,
+        )
+    return enc.shape[1], ids, strs
+
+
+def _strip_specials(ids):
+    """SOS/EOS/PAD off both ends for sequence comparison (the reference
+    returns SOS + tokens + EOS(+EOS when forced), ours tokens + EOS)."""
+    return [int(i) for i in ids if int(i) not in (0, 1, 2)]
+
+
+@pytest.mark.parametrize("beam_width,nbest,c_weight", [
+    (3, 3, 0.1),
+    (8, 4, 0.1),
+    (3, 3, 5.0),   # stress: large length bonus — final-score ranking must
+                   # reorder long vs short hyps identically (bank cannot
+                   # evict a post-rescoring winner; VERDICT r2 weak #3)
+])
+def test_beam_search_parity(pair_space, beam_width, nbest, c_weight):
+    import jax.numpy as jnp
+
+    from mtl_tpu.data.vocab import SOS_ID
+    from mtl_tpu.decode.beam import beam_search_grouped
+
+    model, params, torch_model, rv, mv = pair_space
+    feats, lengths, _ = _batch()
+
+    t_enc, ref_ids, ref_strs = _ref_beam(torch_model, feats, lengths,
+                                         beam_width, nbest, c_weight,
+                                         start_token=SOS_ID)
+
+    grouped = beam_search_grouped(
+        model, params, jnp.asarray(feats), jnp.asarray(lengths), mv,
+        beam_width=beam_width, nbest=nbest, max_steps=t_enc,
+        start_token=SOS_ID, c_weight=c_weight,
+    )
+    flat_strs = [s for hyps in grouped for (_, _, s) in hyps]
+    flat_ids = [ids for hyps in grouped for (_, ids, _) in hyps]
+    assert len(ref_strs) == len(flat_strs) == len(feats) * nbest
+    assert flat_strs == ref_strs
+    for ours, theirs in zip(flat_ids, ref_ids):
+        assert _strip_specials(ours) == _strip_specials(theirs)
+
+
+def test_beam_search_parity_with_lm_fusion(pair_space, tmp_path):
+    """Beam + LM shallow-fusion parity: the same tiny LSTM LM transplanted
+    to both sides (utils/lm.py:8-40 vs lm/fusion.py), identical n-best
+    rankings (modules/decoder.py:261-270)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mtl_tpu.data.vocab import SOS_ID
+    from mtl_tpu.decode.beam import beam_search_grouped
+    from mtl_tpu.lm.fusion import LMScorer, save_lm_fusion
+    from mtl_tpu.lm.model import RNNLM
+    from mtl_tpu.parity.torch_ref import save_torch_lm_checkpoint
+
+    model, params, torch_model, rv, mv = pair_space
+    feats, lengths, _ = _batch()
+
+    # tiny word LM over the words the beam can emit
+    words = ["abc", "defg", "ab", "a", "b", "c", "<oov>", "<eos>"]
+    word2idx = {w: i for i, w in enumerate(words)}
+    arch = dict(rnn_type="LSTM", ntoken=len(words), ninp=6, nhid=6,
+                nlayers=2, dropout=0.0, tie_weights=False)
+    lm_model = RNNLM(**arch)
+    lm_params = lm_model.init(jax.random.PRNGKey(3),
+                              jnp.zeros((2, 1), jnp.int32))
+    fusion_dir = str(tmp_path / "lm_fusion")
+    save_lm_fusion(fusion_dir, lm_params, word2idx, arch)
+    scorer = LMScorer.load(fusion_dir)
+
+    ckpt = save_torch_lm_checkpoint(str(tmp_path / "lm.pt"), lm_params,
+                                    word2idx, arch)
+    import importlib
+
+    ref_lm_mod = importlib.import_module("utils.lm")
+    torch_lm = ref_lm_mod.LM(ckpt, types.SimpleNamespace(cuda=False))
+
+    # sanity: both scorers agree on a raw word sequence
+    s_ours = scorer.evaluate("abc defg a")[0]
+    s_ref = float(torch_lm.evaluate("abc defg a")[0])
+    np.testing.assert_allclose(s_ours, s_ref, rtol=1e-5)
+
+    beam_width, nbest, c_weight, lm_weight = 4, 3, 0.5, 0.5
+    t_enc, ref_ids, ref_strs = _ref_beam(
+        torch_model, feats, lengths, beam_width, nbest, c_weight,
+        lm=torch_lm, lm_weight=lm_weight, start_token=SOS_ID,
+    )
+    grouped = beam_search_grouped(
+        model, params, jnp.asarray(feats), jnp.asarray(lengths), mv,
+        beam_width=beam_width, nbest=nbest, max_steps=t_enc,
+        start_token=SOS_ID, c_weight=c_weight,
+        lm=scorer, lm_rescoring=True, lm_weight=lm_weight,
+    )
+    flat_strs = [s for hyps in grouped for (_, _, s) in hyps]
+    assert len(ref_strs) == len(flat_strs) == len(feats) * nbest
+    assert flat_strs == ref_strs
+    for ours, theirs in zip(
+            [ids for hyps in grouped for (_, ids, _) in hyps], ref_ids):
+        assert _strip_specials(ours) == _strip_specials(theirs)
+
+
 def test_ctc_loss_parity(ref):
     """Loss-level CTC parity on shared random logits
     (utils/metrics.py:127-148 vs mtl_tpu.train.losses.ctc_loss)."""

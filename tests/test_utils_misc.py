@@ -164,6 +164,174 @@ def test_native_wav_decode_matches_python(tmp_path, fmt, n_ch):
     np.testing.assert_allclose(audio.load_audio(path), y, atol=2e-7)
 
 
+def _write_flac(path, pcm16, n_ch, rate=16000):
+    """Encode a FLAC fixture via libsndfile (bundled with pygame on this
+    image) — TEST-ONLY dependency; the product decoder is our own
+    native/audio_io.cpp FLAC implementation."""
+    import ctypes
+    import glob
+
+    libdir = "/opt/venv/lib/python3.12/site-packages/pygame.libs"
+    cands = glob.glob(f"{libdir}/libsndfile*")
+    if not cands:
+        pytest.skip("no libsndfile available to write FLAC fixtures")
+    # libsndfile's bundled codec deps carry mangled sonames; preload ONLY
+    # those (a blanket preload would also inject pygame's second libmpg123
+    # and crash the system one used by mtl_tpu's mp3 path)
+    for name in ("libogg", "libvorbis-", "libvorbisenc", "libFLAC",
+                 "libopus-", "libopusfile"):
+        for dep in glob.glob(f"{libdir}/{name}*"):
+            try:
+                ctypes.CDLL(dep, mode=ctypes.RTLD_GLOBAL)
+            except OSError:
+                pass
+    sf = ctypes.CDLL(cands[0])
+
+    class SFInfo(ctypes.Structure):
+        _fields_ = [("frames", ctypes.c_int64),
+                    ("samplerate", ctypes.c_int),
+                    ("channels", ctypes.c_int),
+                    ("format", ctypes.c_int),
+                    ("sections", ctypes.c_int),
+                    ("seekable", ctypes.c_int)]
+
+    sf.sf_open.restype = ctypes.c_void_p
+    sf.sf_open.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                           ctypes.POINTER(SFInfo)]
+    sf.sf_write_short.restype = ctypes.c_int64
+    sf.sf_write_short.argtypes = [ctypes.c_void_p,
+                                  ctypes.POINTER(ctypes.c_int16),
+                                  ctypes.c_int64]
+    sf.sf_close.argtypes = [ctypes.c_void_p]
+    info = SFInfo(0, rate, n_ch, 0x170000 | 0x0002, 0, 0)  # FLAC | PCM_16
+    h = sf.sf_open(path.encode(), 0x20, ctypes.byref(info))  # SFM_WRITE
+    assert h, "libsndfile failed to open FLAC for writing"
+    data = np.ascontiguousarray(pcm16, np.int16)
+    n = sf.sf_write_short(h, data.ctypes.data_as(
+        ctypes.POINTER(ctypes.c_int16)), len(data))
+    sf.sf_close(h)
+    assert n == len(data)
+
+
+@pytest.mark.parametrize("n_ch", [1, 2])
+def test_flac_decode_matches_wav_twin(tmp_path, n_ch):
+    """Our from-scratch FLAC decoder reproduces the PCM16 samples exactly
+    (same values as the WAV twin) — VERDICT r2 #6."""
+    import numpy as np
+
+    from mtl_tpu.data import audio
+
+    if audio._load_native() is None:
+        pytest.skip("native audio lib unavailable")
+    rng = np.random.RandomState(3)
+    n = 2000
+    pcm = (np.clip(rng.randn(n * n_ch) * 0.25, -1, 1) * 32767).astype(
+        np.int16)
+    flac_path = str(tmp_path / f"x{n_ch}.flac")
+    wav_path = str(tmp_path / f"x{n_ch}.wav")
+    _write_flac(flac_path, pcm, n_ch)
+    _write_wav(wav_path, pcm.astype(np.float64) / 32767.0, n_ch=n_ch,
+               fmt="pcm16")
+
+    got = audio.load_audio(flac_path)
+    want = audio.load_audio(wav_path)
+    assert got.dtype == np.float32 and len(got) == n
+    # identical PCM path: both are int16/32768 (mean over channels)
+    expect = (pcm.astype(np.float64).reshape(-1, n_ch) / 32768.0).mean(1)
+    np.testing.assert_allclose(got, expect, atol=2e-4)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+    # duration probe
+    assert abs(audio.get_audio_length(flac_path) - n / 16000.0) < 1e-6
+
+
+def test_mp3_decode_roundtrip(tmp_path):
+    """mp3 decode via libmpg123 (system library): a lame-encoded sine comes
+    back aligned and highly correlated — VERDICT r2 #6."""
+    import ctypes
+
+    import numpy as np
+
+    from mtl_tpu.data import audio
+
+    try:
+        lame = ctypes.CDLL("libmp3lame.so.0")
+    except OSError:
+        pytest.skip("no libmp3lame to write mp3 fixtures")
+    n = 16000
+    t = np.arange(n) / 16000.0
+    sig = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    pcm = (sig * 32767).astype(np.int16)
+
+    lame.lame_init.restype = ctypes.c_void_p
+    for fn in ("lame_set_in_samplerate", "lame_set_num_channels",
+               "lame_set_mode", "lame_init_params", "lame_close"):
+        getattr(lame, fn).argtypes = [ctypes.c_void_p] + (
+            [ctypes.c_int] if fn.startswith("lame_set") else [])
+    lame.lame_encode_buffer.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16),
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_int, ctypes.c_char_p,
+        ctypes.c_int]
+    lame.lame_encode_flush.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                       ctypes.c_int]
+    g = lame.lame_init()
+    lame.lame_set_in_samplerate(g, 16000)
+    lame.lame_set_num_channels(g, 1)
+    lame.lame_set_mode(g, 3)  # mono
+    assert lame.lame_init_params(g) >= 0
+    bufsize = int(1.25 * n + 7200)
+    out = ctypes.create_string_buffer(bufsize)
+    p16 = pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
+    n1 = lame.lame_encode_buffer(g, p16, p16, n, out, bufsize)
+    assert n1 > 0
+    out2 = ctypes.create_string_buffer(bufsize)
+    n2 = lame.lame_encode_flush(g, out2, bufsize)
+    lame.lame_close(g)
+    path = str(tmp_path / "tone.mp3")
+    with open(path, "wb") as f:
+        f.write(out.raw[:n1] + out2.raw[:n2])
+
+    y = audio.load_audio(path)
+    assert y.dtype == np.float32
+    # lame pads by up to ~2 frames; gapless info should trim most of it
+    assert abs(len(y) - n) < 1152 * 3
+    # align by cross-correlation and require a strong match
+    m = min(len(y), n) - 2000
+    lag = np.argmax(np.correlate(y[:6000], sig[:2000], mode="valid"))
+    seg_y = y[lag:lag + m]
+    seg_s = sig[:m]
+    k = min(len(seg_y), len(seg_s))
+    corr = np.corrcoef(seg_y[:k], seg_s[:k])[0, 1]
+    assert corr > 0.95, corr
+
+
+def test_native_wav_decode_oversized_n_zero_fills(tmp_path):
+    """wav_decode must bound its loops by the decode-time data chunk, not the
+    caller's n_mono; an oversized count gets a zero-filled tail instead of a
+    heap over-read (ADVICE r2)."""
+    import ctypes
+
+    import numpy as np
+
+    from mtl_tpu.data import audio
+
+    lib = audio._load_native()
+    if lib is None:
+        pytest.skip("native audio lib unavailable")
+    rng = np.random.RandomState(1)
+    data = rng.uniform(-0.9, 0.9, size=160)
+    path = str(tmp_path / "short.wav")
+    _write_wav(path, data, n_ch=1, fmt="pcm16")
+
+    n_over = 160 + 64
+    out = np.full(n_over, np.nan, np.float32)
+    rc = lib.wav_decode(path.encode(),
+                        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                        n_over)
+    assert rc == 0
+    assert np.all(out[160:] == 0.0)
+    np.testing.assert_allclose(out[:160], audio.load_audio(path), atol=2e-7)
+
+
 def test_native_resample_matches_numpy():
     import numpy as np
 

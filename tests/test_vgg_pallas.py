@@ -172,6 +172,26 @@ def test_fused_subsampler_param_tree_matches_xla_path():
         vp.INTERPRET = old
 
 
+def test_fused_subsampler_falls_back_on_t_mod_16():
+    """T = 8 (mod 16) is 8-divisible but block 2 (at T//2) is not tileable;
+    the guard must take the reference path, not crash at trace time
+    (ADVICE r2: default bucket 200 frames hit this)."""
+    from mtl_tpu.models.subsampler import FeatureExtractor
+
+    rng = np.random.RandomState(3)
+    old = vp.INTERPRET
+    vp.INTERPRET = True
+    try:
+        fe = FeatureExtractor("vgg_cnn", fused=True)
+        for t in (24, 200):  # both = 8 mod 16
+            x = jnp.asarray(rng.randn(1, t, 9).astype(np.float32))
+            params = fe.init(jax.random.PRNGKey(0), x)
+            out = fe.apply(params, x)
+            assert out.shape == (1, t // 4, 2 * 128)
+    finally:
+        vp.INTERPRET = old
+
+
 def test_second_order_forces_unfused_conv():
     """custom_vjp cannot nest under grad-of-grad: --second-order must build
     the XLA conv path even when --fused-vgg is requested."""
