@@ -143,13 +143,16 @@ def run_decode_bench(num_iters=5):
     seq_in, _ = make_teacher_forcing(batch["targets"])
     params = model.init(jax.random.PRNGKey(0), feats, lengths, seq_in)
 
-    def run():
-        return greedy_decode_ids(model, params, feats, lengths, 300, 1, False)
+    def run(f):
+        return greedy_decode_ids(model, params, f, lengths, 300, 1, False)
 
-    np.asarray(run())  # compile
+    ids = run(feats)
+    np.asarray(ids)  # compile
     t0 = time.perf_counter()
     for _ in range(num_iters):
-        ids = run()
+        # chain through the previous output: identical re-dispatches get
+        # deduplicated by the remote-device tunnel and time as ~0
+        ids = run(feats + 1e-9 * jnp.sum(ids).astype(feats.dtype))
     np.asarray(ids)
     wall = (time.perf_counter() - t0) / num_iters
     audio_seconds = float(np.sum(np.asarray(batch["audio_lengths"])) / 16000)

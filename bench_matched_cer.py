@@ -51,10 +51,33 @@ META_LR = 1e-3
 SEED = 1234
 
 
-def tiny_cfg(num_labels: int, scale: int = 1):
+def tiny_cfg(num_labels: int, scale: int = 1, flagship: bool = False):
     from mtl_tpu.config import Config
 
     cfg = Config()
+    if flagship:
+        # the flagship geometry (BASELINE.json configs[0]: 2 enc / 4 dec,
+        # d=512, h=8) at the matched-CER protocol's corpus scale — deeper
+        # stacks (naive scale=8) diverge on the toy corpus on BOTH sides
+        cfg.model.num_enc_layers = 2
+        cfg.model.num_dec_layers = 4
+        cfg.model.num_heads = 8
+        cfg.model.dim_model = 512
+        cfg.model.dim_key = 64
+        cfg.model.dim_value = 64
+        cfg.model.dim_inner = 512
+        cfg.model.dim_emb = 512
+        cfg.model.dropout = 0.0
+        cfg.model.r = 16
+        cfg.model.dtype = "float32"
+        cfg.model.src_max_len = 512
+        cfg.model.tgt_max_len = 64
+        cfg.train.lr = INNER_LR
+        cfg.train.meta_lr = META_LR
+        cfg.train.clip = False
+        cfg.train.copy_grad = True
+        cfg.finalize()
+        return cfg
     cfg.model.num_enc_layers = 1 * scale
     cfg.model.num_dec_layers = 2 * scale
     cfg.model.num_heads = 2 * scale
@@ -500,6 +523,9 @@ def main():
     ap.add_argument("--scale", type=int, default=1,
                     help="model-width multiplier (2 = d_model 128 etc.) for "
                          "a second matched-CER data point at larger scale")
+    ap.add_argument("--flagship", action="store_true",
+                    help="use the flagship geometry (2 enc/4 dec, d=512) "
+                         "instead of the width-multiplied tiny stack")
     ap.add_argument("--teacher-forced", action="store_true",
                     help="score teacher-forced CER (round-2 protocol) "
                          "instead of free-running greedy decode CER")
@@ -510,12 +536,12 @@ def main():
 
     num_labels_cfg = tiny_cfg(0)
     tasks, vocab, t_max, l_max = build_data(num_labels_cfg)
-    cfg = tiny_cfg(vocab.size, scale=args.scale)
+    cfg = tiny_cfg(vocab.size, scale=args.scale, flagship=args.flagship)
     cfg.model.tgt_max_len = max(cfg.model.tgt_max_len, l_max + 2)
 
     utt_per_iter = K_TASKS * K_TRAIN + K_VALID
     out = {"protocol": {
-        "scale": args.scale,
+        "scale": "flagship" if args.flagship else args.scale,
         "k_tasks": K_TASKS, "k_train": K_TRAIN, "k_valid": K_VALID,
         "inner_lr": INNER_LR, "meta_lr": META_LR,
         "utt_per_iter": utt_per_iter, "target_cer": args.target_cer,
@@ -561,7 +587,7 @@ def main():
     if os.path.exists(path):
         with open(path) as f:
             results = json.load(f)
-    results[f"scale_{args.scale}"] = out
+    results["flagship" if args.flagship else f"scale_{args.scale}"] = out
     with open(path, "w") as f:
         json.dump(results, f, indent=1)
 
