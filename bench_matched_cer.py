@@ -99,7 +99,8 @@ def tiny_cfg(num_labels: int, scale: int = 1, flagship: bool = False):
     return cfg
 
 
-def build_data(cfg):
+def build_data(cfg, utts_per_task: int = 8, max_sec: float = 0.6,
+               max_chars: int = 8):
     """Precompute identical features/targets for every utterance of every
     task; returns per-task lists + the static padded shapes."""
     import jax.numpy as jnp
@@ -111,8 +112,9 @@ def build_data(cfg):
     from mtl_tpu.ops.frontend import log_spectrogram
 
     manifests, labels_path = make_synthetic_corpus(
-        "/tmp/cer_corpus", num_tasks=K_TASKS, utts_per_task=8,
-        max_sec=0.6, max_chars=8, seed=7,
+        f"/tmp/cer_corpus_{utts_per_task}_{max_sec}", num_tasks=K_TASKS,
+        utts_per_task=utts_per_task, max_sec=max_sec, max_chars=max_chars,
+        seed=7,
     )
     vocab = Vocab.from_json(labels_path)
 
@@ -523,6 +525,11 @@ def main():
     ap.add_argument("--scale", type=int, default=1,
                     help="model-width multiplier (2 = d_model 128 etc.) for "
                          "a second matched-CER data point at larger scale")
+    ap.add_argument("--utts-per-task", type=int, default=8)
+    ap.add_argument("--max-sec", type=float, default=0.6,
+                    help="longest utterance; raise toward real speech "
+                         "lengths for the at-scale data point")
+    ap.add_argument("--max-chars", type=int, default=8)
     ap.add_argument("--flagship", action="store_true",
                     help="use the flagship geometry (2 enc/4 dec, d=512) "
                          "instead of the width-multiplied tiny stack")
@@ -535,13 +542,17 @@ def main():
     args = ap.parse_args()
 
     num_labels_cfg = tiny_cfg(0)
-    tasks, vocab, t_max, l_max = build_data(num_labels_cfg)
+    tasks, vocab, t_max, l_max = build_data(
+        num_labels_cfg, utts_per_task=args.utts_per_task,
+        max_sec=args.max_sec, max_chars=args.max_chars)
     cfg = tiny_cfg(vocab.size, scale=args.scale, flagship=args.flagship)
     cfg.model.tgt_max_len = max(cfg.model.tgt_max_len, l_max + 2)
 
     utt_per_iter = K_TASKS * K_TRAIN + K_VALID
     out = {"protocol": {
         "scale": "flagship" if args.flagship else args.scale,
+        "utts_per_task": args.utts_per_task, "max_sec": args.max_sec,
+        "max_chars": args.max_chars,
         "k_tasks": K_TASKS, "k_train": K_TRAIN, "k_valid": K_VALID,
         "inner_lr": INNER_LR, "meta_lr": META_LR,
         "utt_per_iter": utt_per_iter, "target_cer": args.target_cer,
@@ -587,7 +598,14 @@ def main():
     if os.path.exists(path):
         with open(path) as f:
             results = json.load(f)
-    results["flagship" if args.flagship else f"scale_{args.scale}"] = out
+    key = "flagship" if args.flagship else f"scale_{args.scale}"
+    if (args.utts_per_task, args.max_sec) != (8, 0.6):
+        key += f"_u{args.utts_per_task}_s{args.max_sec:g}"
+    # merge per side: --skip-torch / --skip-tpu runs measure one framework
+    # each and must not clobber the other's half of the entry
+    merged = results.get(key, {})
+    merged.update(out)
+    results[key] = merged
     with open(path, "w") as f:
         json.dump(results, f, indent=1)
 

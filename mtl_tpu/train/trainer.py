@@ -506,7 +506,12 @@ class JointTrainer(TrainerBase):
 
             step_fn = make_joint_step_disc(self.model, discriminator, cfg, opt)
         else:
-            step_fn = make_joint_step(self.model, cfg, opt, donate=True)
+            # no donation here: the per-batch skip-on-error recovery below
+            # re-uses the input state after a failed step, and a donated
+            # input is already consumed by the time an execution error
+            # surfaces (the transient trainer's step runs outside its
+            # recovery try, so it donates safely)
+            step_fn = make_joint_step(self.model, cfg, opt)
 
         num_tasks = len(train_dataset.ids_list)
 
@@ -664,7 +669,9 @@ class EpochTrainer(TrainerBase):
         from .optim import make_epoch_optimizer
 
         opt = make_epoch_optimizer(cfg)
-        step_fn = make_joint_step(self.model, cfg, opt, donate=True)
+        # no donation: the epoch loop's skip-on-error path re-uses the input
+        # state after a failed step (see JointTrainer)
+        step_fn = make_joint_step(self.model, cfg, opt)
         rng = jax.random.PRNGKey(cfg.train.seed)
         stopper = EarlyStopper(cfg.train.early_stop)
 
