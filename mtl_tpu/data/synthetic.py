@@ -103,10 +103,17 @@ def make_synthetic_corpus(
 
 
 def make_synthetic_lm_corpus(
-    root: str, num_tasks: int = 3, sentences_per_task: int = 40, seed: int = 0
+    root: str, num_tasks: int = 3, sentences_per_task: int = 40,
+    seed: int = 0, markov: bool = False
 ) -> List[str]:
     """Word-level text corpora for the LM stack (train/valid/test files per
-    task, mirroring the lm/ data layout)."""
+    task, mirroring the lm/ data layout).
+
+    ``markov=True`` draws each sentence from a sparse per-task first-order
+    Markov chain (each word allows ~3 successors) instead of i.i.d. word
+    choices — i.i.d. text caps learning at unigram statistics, which makes
+    perplexity curves too shallow for time-to-target benchmarks
+    (bench_matched_ppl.py)."""
     rng = np.random.RandomState(seed)
     os.makedirs(root, exist_ok=True)
     en_words = ["the", "cat", "sat", "on", "mat", "dog", "ran", "far", "you",
@@ -120,6 +127,11 @@ def make_synthetic_lm_corpus(
             pool = en_words
         else:
             pool = zh_words
+        successors = None
+        if markov:
+            successors = {
+                w: rng.choice(pool, size=3, replace=False) for w in pool
+            }
         task_dir = os.path.join(root, f"lm_task{k}")
         os.makedirs(task_dir, exist_ok=True)
         for split, n in (("train", sentences_per_task),
@@ -128,7 +140,13 @@ def make_synthetic_lm_corpus(
             lines = []
             for _ in range(n):
                 length = rng.randint(3, 10)
-                lines.append(" ".join(rng.choice(pool) for _ in range(length)))
+                if markov:
+                    words = [str(rng.choice(pool))]
+                    for _ in range(length - 1):
+                        words.append(str(rng.choice(successors[words[-1]])))
+                else:
+                    words = [str(rng.choice(pool)) for _ in range(length)]
+                lines.append(" ".join(words))
             with open(os.path.join(task_dir, f"{split}.txt"), "w",
                       encoding="utf-8") as f:
                 f.write("\n".join(lines) + "\n")
