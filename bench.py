@@ -58,6 +58,22 @@ def matched_cer_speedups():
             out[scale] = round(tpu / ref, 1)
     return out
 
+
+def matched_ppl_speedup():
+    """Measured matched-perplexity LM speedup (bench_matched_ppl.py's
+    persisted result); None when that bench hasn't run here."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "matched_ppl_results.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        r = json.load(f).get("default", {})
+    tpu = r.get("mtl_tpu", {}).get("wall_s_to_target")
+    ref = r.get("torch_reference_cpu", {}).get("wall_s_to_target")
+    if tpu and ref:
+        return round(ref / tpu, 1)
+    return None
+
 K_TASKS = 3
 K_TRAIN = 8
 K_VALID = 8
@@ -185,6 +201,9 @@ def main():
     speedups = matched_cer_speedups()
     if speedups:
         out["matched_cer_speedup_vs_reference_cpu"] = speedups
+    ppl_speedup = matched_ppl_speedup()
+    if ppl_speedup:
+        out["matched_ppl_lm_speedup_vs_reference_cpu"] = ppl_speedup
     print(json.dumps(out))
 
 

@@ -251,3 +251,21 @@ def test_seame_lm_corpus_builder(tmp_path):
 
     c = Corpus(paths["train"], paths["valid"], paths["test"])
     assert len(c.dictionary) > 4
+
+
+def test_markov_lm_corpus_has_learnable_structure(tmp_path):
+    """markov=True constrains each word to ~3 successors (the structure
+    bench_matched_ppl.py relies on); default stays i.i.d.-style."""
+    from mtl_tpu.data.synthetic import make_synthetic_lm_corpus
+
+    dirs = make_synthetic_lm_corpus(str(tmp_path), num_tasks=2,
+                                    sentences_per_task=60, seed=3,
+                                    markov=True)
+    successors = {}
+    with open(f"{dirs[0]}/train.txt", encoding="utf-8") as f:
+        for line in f:
+            ws = line.split()
+            for a, b in zip(ws, ws[1:]):
+                successors.setdefault(a, set()).add(b)
+    # sparse chain: no word fans out to more than its 3 allowed successors
+    assert successors and max(len(v) for v in successors.values()) <= 3
