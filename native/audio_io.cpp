@@ -227,7 +227,10 @@ StreamInfo parse_header(const std::vector<uint8_t>& f) {
     pos += len;
   }
   si.audio_start = pos;
-  si.ok = last && si.sample_rate && si.channels;
+  // bps bounds matter: decode_mono scales by 1 << (bps-1), so an absent or
+  // crafted STREAMINFO with bps 0 (or 33+) would shift out of range
+  si.ok = last && si.sample_rate && si.channels && si.bps >= 4 &&
+          si.bps <= 32;
   return si;
 }
 
@@ -249,6 +252,10 @@ bool read_residual(BitReader& br, int32_t* x, uint32_t blocksize,
   const uint32_t po = uint32_t(br.bits(4));
   const uint32_t parts = 1u << po;
   if (blocksize % parts || blocksize / parts <= 0) return false;
+  // first partition holds (blocksize/parts - order) residuals; a crafted
+  // stream with order > blocksize/parts would wrap cnt below (uint32) and
+  // write ~4e9 samples past x
+  if (order > blocksize / parts) return false;
   uint32_t idx = order;
   for (uint32_t p = 0; p < parts; ++p) {
     uint32_t cnt = blocksize / parts - (p == 0 ? order : 0);

@@ -348,3 +348,29 @@ def test_native_resample_matches_numpy():
                         np.arange(len(y), dtype=np.float64),
                         y).astype(np.float32)
         np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_flac_malformed_streams_rejected(tmp_path):
+    """Crafted FLAC headers must fail cleanly, not over-read/UB: a bps=0
+    STREAMINFO (scale shift out of range) and a truncated stream."""
+    import pytest
+
+    from mtl_tpu.data.audio import load_audio
+
+    # minimal fLaC container: one last-block STREAMINFO (34 bytes), bps bits
+    # zeroed -> bps=1 (< 4, rejected), nonzero sample rate/channels
+    info = bytearray(34)
+    info[10] = 0x3E; info[11] = 0x80  # sample_rate 16000 (20 bits)
+    info[12] |= 0x02                  # channels 2 (bits 3..1 = 001)
+    hdr = b"fLaC" + bytes([0x80, 0, 0, 34]) + bytes(info)
+    p = str(tmp_path / "bad_bps.flac")
+    with open(p, "wb") as f:
+        f.write(hdr + b"\xff\xf8" + b"\x00" * 16)
+    with pytest.raises(ValueError):
+        load_audio(p)
+
+    p2 = str(tmp_path / "truncated.flac")
+    with open(p2, "wb") as f:
+        f.write(b"fLaC" + bytes([0x80, 0, 0, 34]) + bytes(10))
+    with pytest.raises(ValueError):
+        load_audio(p2)
