@@ -615,3 +615,54 @@ def test_sharded_joint_step_matches_single_device():
                       state0.params, s2.params)
     for a, c in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(a, c, rtol=1e-4, atol=1e-6)
+
+def test_second_order_meta_step_sharded_matches_single_device():
+    """The SECOND-order meta step (grad-through-grad, the stretch MAML
+    config) under (task=2, data=4) sharding equals the single-device run —
+    the first-order equality tests don't exercise the jvp-of-vjp HLO the
+    second-order path emits."""
+    from mtl_tpu.train.steps import make_meta_step
+
+    ds = cpu_devices()
+    cfg, model, _, state, support, query = _tiny_meta_setup(k=2, b=4)
+    cfg.train.second_order = True
+    step = make_meta_step(model, cfg, optax.adam(1e-3))
+    drng = jax.random.PRNGKey(1)
+
+    cpu0 = ds[0]
+    s1, m1 = step(
+        jax.device_put(state, cpu0),
+        jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), cpu0), support),
+        jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), cpu0), query),
+        jax.device_put(drng, cpu0),
+    )
+
+    cfg.mesh = MeshConfig(task=2, data=4, model=1)
+    mesh = make_mesh(cfg, ds)
+    with mesh:
+        state_r = jax.device_put(state, NamedSharding(mesh, P()))
+        sup_s = jax.tree.map(
+            lambda x: jax.device_put(
+                np.asarray(x),
+                NamedSharding(mesh, P(*(("task", "data") + (None,) *
+                                        (np.asarray(x).ndim - 2)))),
+            ),
+            support,
+        )
+        q_s = jax.tree.map(
+            lambda x: jax.device_put(
+                np.asarray(x),
+                NamedSharding(mesh, P(*(("data",) + (None,) *
+                                        (np.asarray(x).ndim - 1)))),
+            ),
+            query,
+        )
+        s2, m2 = step(state_r, sup_s, q_s, drng)
+
+    np.testing.assert_allclose(float(m1["outer_loss"]),
+                               float(m2["outer_loss"]), rtol=1e-5)
+    a = np.concatenate([np.asarray(x).reshape(-1)
+                        for x in jax.tree.leaves(s1.params)])
+    b_ = np.concatenate([np.asarray(x).reshape(-1)
+                         for x in jax.tree.leaves(s2.params)])
+    assert float(np.mean(np.abs(a - b_) < 1e-4)) > 0.999
