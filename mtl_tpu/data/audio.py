@@ -128,7 +128,7 @@ def _load_wav_riff(path: str) -> np.ndarray:
         if len(header) < 12 or header[:4] != b"RIFF" or header[8:12] != b"WAVE":
             raise ValueError(
                 f"unsupported audio container in {path!r}: not RIFF/WAVE, "
-                "FLAC, or mp3 (convert other codecs to wav/flac or .npy)"
+                "FLAC, ogg, or mp3 (convert other codecs to wav or .npy)"
             )
         fmt = None
         data = None
@@ -223,6 +223,87 @@ def _load_mpg123_lib():
     return lib
 
 
+_vorbisfile = None
+
+
+class _VorbisInfo(ctypes.Structure):
+    # leading fields of vorbis_info (codec.h) — all we read
+    _fields_ = [("version", ctypes.c_int), ("channels", ctypes.c_int),
+                ("rate", ctypes.c_long)]
+
+
+def _load_vorbisfile():
+    """libvorbisfile (a system library, like libmpg123 for mp3) for ogg."""
+    global _vorbisfile
+    if _vorbisfile is not None:
+        return _vorbisfile
+    lib = ctypes.CDLL("libvorbisfile.so.3")
+    lib.ov_fopen.restype = ctypes.c_int
+    lib.ov_fopen.argtypes = [ctypes.c_char_p, ctypes.c_void_p]
+    lib.ov_info.restype = ctypes.POINTER(_VorbisInfo)
+    lib.ov_info.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.ov_read.restype = ctypes.c_long
+    lib.ov_read.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+                            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                            ctypes.POINTER(ctypes.c_int)]
+    lib.ov_pcm_total.restype = ctypes.c_int64
+    lib.ov_pcm_total.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.ov_clear.argtypes = [ctypes.c_void_p]
+    _vorbisfile = lib
+    return lib
+
+
+# OggVorbis_File is ~944 bytes on 64-bit; we allocate it (opaque) with slack
+_OV_FILE_SIZE = 4096
+
+
+def _load_ogg(path: str) -> np.ndarray:
+    lib = _load_vorbisfile()
+    vf = ctypes.create_string_buffer(_OV_FILE_SIZE)
+    rc = lib.ov_fopen(path.encode(), vf)
+    if rc != 0:
+        raise ValueError(f"malformed ogg/vorbis stream ({rc}): {path!r}")
+    try:
+        info = lib.ov_info(vf, -1)
+        if not info:
+            raise ValueError(f"ogg stream without vorbis info: {path!r}")
+        channels = info.contents.channels
+        chunks = []
+        buf = ctypes.create_string_buffer(1 << 16)
+        bs = ctypes.c_int()
+        while True:
+            n = lib.ov_read(vf, buf, len(buf), 0, 2, 1, ctypes.byref(bs))
+            if n == 0:
+                break
+            if n < 0:
+                raise ValueError(f"ogg decode error {n} in {path!r}")
+            chunks.append(np.frombuffer(buf.raw[:n], "<i2")
+                          .astype(np.float32) / 32768.0)
+    finally:
+        lib.ov_clear(vf)
+    if not chunks:
+        return np.zeros(0, np.float32)
+    y = np.concatenate(chunks)
+    if channels > 1:
+        y = y[: len(y) - len(y) % channels].reshape(
+            -1, channels).mean(axis=1)
+    return np.ascontiguousarray(y, np.float32)
+
+
+def _ogg_duration(path: str) -> float:
+    lib = _load_vorbisfile()
+    vf = ctypes.create_string_buffer(_OV_FILE_SIZE)
+    if lib.ov_fopen(path.encode(), vf) != 0:
+        raise ValueError(f"malformed ogg/vorbis stream: {path!r}")
+    try:
+        info = lib.ov_info(vf, -1)
+        total = lib.ov_pcm_total(vf, -1)
+        rate = info.contents.rate if info else 0
+        return total / max(rate, 1)
+    finally:
+        lib.ov_clear(vf)
+
+
 def _load_mp3(path: str) -> np.ndarray:
     lib = _load_mpg123_lib()
     err = ctypes.c_int()
@@ -279,9 +360,10 @@ def load_audio(path: str) -> np.ndarray:
     """Decode an audio file to float32 mono in [-1, 1].
 
     Containers: PCM/float WAV (native C++ core + numpy fallback), FLAC
-    (from-scratch native decoder), mp3 (libmpg123), ``.npy`` arrays for
-    fixtures. The reference reads all of these through torchaudio
-    (utils/audio.py:7-12, channel-mean mixdown)."""
+    (from-scratch native decoder), mp3 (libmpg123), ogg/vorbis
+    (libvorbisfile), ``.npy`` arrays for fixtures. The reference reads all
+    of these through torchaudio (utils/audio.py:7-12, channel-mean
+    mixdown)."""
     if path.endswith(".npy"):
         y = np.load(path)
         if y.ndim > 1:
@@ -290,6 +372,8 @@ def load_audio(path: str) -> np.ndarray:
     head = _sniff(path)
     if head == b"fLaC":
         return _load_flac(path)
+    if head == b"OggS":
+        return _load_ogg(path)
     if head[:3] == b"ID3" or (len(head) >= 2 and head[0] == 0xFF
                               and (head[1] & 0xE0) == 0xE0
                               and head[:4] != b"RIFF"):
@@ -324,6 +408,8 @@ def get_audio_length(path: str, sample_rate: int = 16000) -> float:
                                               ctypes.byref(sr)) == 0:
             return n.value / max(sr.value, 1)
         raise ValueError(f"cannot probe FLAC: {path!r}")
+    if head == b"OggS":
+        return _ogg_duration(path)
     if head[:3] == b"ID3" or (head and head[0] == 0xFF and head[:4] != b"RIFF"
                               and (head[1] & 0xE0) == 0xE0):
         return len(_load_mp3(path)) / sample_rate

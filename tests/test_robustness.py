@@ -294,11 +294,17 @@ def test_load_audio_float_wav(tmp_path):
 def test_load_audio_unsupported_container_message(tmp_path):
     from mtl_tpu.data.audio import load_audio
 
-    # genuinely unsupported container (ogg) -> actionable guidance
+    # genuinely unsupported container (midi) -> actionable guidance
+    p = str(tmp_path / "tune.mid")
+    with open(p, "wb") as f:
+        f.write(b"MThd\x00\x02" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="convert"):
+        load_audio(p)
+    # supported container (ogg by OggS magic) but a corrupt stream
     p = str(tmp_path / "clip.ogg")
     with open(p, "wb") as f:
         f.write(b"OggS\x00\x02" + b"\x00" * 64)
-    with pytest.raises(ValueError, match="convert"):
+    with pytest.raises(ValueError, match="ogg"):
         load_audio(p)
     # supported container (mp3 by ID3 magic) but a corrupt stream -> a
     # clear decode error, not silence/garbage

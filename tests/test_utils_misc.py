@@ -168,6 +168,16 @@ def _write_flac(path, pcm16, n_ch, rate=16000):
     """Encode a FLAC fixture via libsndfile (bundled with pygame on this
     image) — TEST-ONLY dependency; the product decoder is our own
     native/audio_io.cpp FLAC implementation."""
+    _write_sndfile(path, pcm16, n_ch, rate, 0x170000 | 0x0002)  # FLAC|PCM16
+
+
+def _write_ogg(path, pcm16, n_ch, rate=16000):
+    """Encode an ogg/vorbis fixture via libsndfile (TEST-ONLY; the product
+    decoder is the system libvorbisfile via ctypes)."""
+    _write_sndfile(path, pcm16, n_ch, rate, 0x200000 | 0x0060)  # OGG|VORBIS
+
+
+def _write_sndfile(path, pcm16, n_ch, rate, fmt_code):
     import ctypes
     import glob
 
@@ -203,9 +213,9 @@ def _write_flac(path, pcm16, n_ch, rate=16000):
                                   ctypes.POINTER(ctypes.c_int16),
                                   ctypes.c_int64]
     sf.sf_close.argtypes = [ctypes.c_void_p]
-    info = SFInfo(0, rate, n_ch, 0x170000 | 0x0002, 0, 0)  # FLAC | PCM_16
+    info = SFInfo(0, rate, n_ch, fmt_code, 0, 0)
     h = sf.sf_open(path.encode(), 0x20, ctypes.byref(info))  # SFM_WRITE
-    assert h, "libsndfile failed to open FLAC for writing"
+    assert h, f"libsndfile failed to open {path} for writing"
     data = np.ascontiguousarray(pcm16, np.int16)
     n = sf.sf_write_short(h, data.ctypes.data_as(
         ctypes.POINTER(ctypes.c_int16)), len(data))
@@ -374,3 +384,31 @@ def test_flac_malformed_streams_rejected(tmp_path):
         f.write(b"fLaC" + bytes([0x80, 0, 0, 34]) + bytes(10))
     with pytest.raises(ValueError):
         load_audio(p2)
+
+
+def test_ogg_decode_matches_wav_twin(tmp_path):
+    """ogg/vorbis decode (system libvorbisfile) recovers the waveform —
+    vorbis is lossy, so the check is high correlation + matched length on a
+    band-limited signal, not sample equality."""
+    import numpy as np
+
+    from mtl_tpu.data import audio
+
+    n, rate = 16000, 16000
+    t = np.arange(n) / rate
+    y = (0.5 * np.sin(2 * np.pi * 440 * t)
+         + 0.2 * np.sin(2 * np.pi * 880 * t)).astype(np.float64)
+    pcm = (y * 32767).astype(np.int16)
+    ogg_path = str(tmp_path / "x.ogg")
+    _write_ogg(ogg_path, pcm, n_ch=1)
+
+    got = audio.load_audio(ogg_path)
+    assert got.dtype == np.float32
+    assert abs(len(got) - n) <= 64  # codec may pad a frame
+    m = min(len(got), n)
+    a, b = got[:m].astype(np.float64), y[:m]
+    corr = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert corr > 0.99, corr
+    # duration probe agrees (soxi parity path)
+    assert audio.get_audio_length(ogg_path) == pytest.approx(m / rate,
+                                                             abs=0.05)
