@@ -118,3 +118,39 @@ def test_mesh_divisibility_errors(corpus, tmp_path):
             _argv(corpus, tmp_path, "mesh-bad2",
                   extra=("--mesh-task", "4", "--mesh-data", "2"))
         )
+
+
+def test_epoch_cli_mesh_matches_single_device(corpus, tmp_path, capsys):
+    """train.py's EpochTrainer with --mesh-data 4 (data-parallel only; the
+    epoch trainer rejects a task axis) reproduces the single-device epoch
+    losses. Single train manifest like the reference's train.py — a
+    multi-manifest train dataset is a 30000-sample pool, not an epoch."""
+    from mtl_tpu.cli.asr import train_main
+
+    manifests, labels = corpus
+    cpu0 = cpu8()[0]
+
+    def argv(name, extra=()):
+        a = _argv((manifests[:1], labels), tmp_path, name,
+                  extra=("--batch-size", "4") + tuple(extra))
+        # epochs=4 would run 4 full epochs; 2 keeps it quick
+        a[a.index("--epochs") + 1] = "2"
+        return a
+
+    with jax.default_device(cpu0):
+        train_main(argv("epoch-single"))
+        single_out = capsys.readouterr().out
+        train_main(argv("epoch-sharded", extra=("--mesh-data", "4")))
+        sharded_out = capsys.readouterr().out
+
+    assert "MESH: task=1 data=4 model=1" in sharded_out
+    t1, _ = _losses(single_out)
+    t2, _ = _losses(sharded_out)
+    assert len(t1) == len(t2) == 2
+    np.testing.assert_allclose(t1, t2, rtol=2e-4, atol=1e-4)
+
+    from mtl_tpu.cli.asr import train_main as tm
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="epoch"):
+        tm(argv("epoch-bad", extra=("--mesh-task", "2", "--mesh-data", "2")))
