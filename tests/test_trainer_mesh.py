@@ -154,3 +154,36 @@ def test_epoch_cli_mesh_matches_single_device(corpus, tmp_path, capsys):
 
     with _pytest.raises(ValueError, match="epoch"):
         tm(argv("epoch-bad", extra=("--mesh-task", "2", "--mesh-data", "2")))
+
+
+def test_mesh_run_resumes_from_checkpoint(corpus, tmp_path, capsys):
+    """Composition: a --mesh run writes a checkpoint (gathered to host, so
+    the file is placement-portable) and --continue-from restores it into a
+    NEW mesh run whose first losses equal a single-device resume of the
+    same file."""
+    from mtl_tpu.cli.asr import meta_transfer_train_main
+
+    cpu0 = cpu8()[0]
+    mesh_flags = ("--mesh-task", "2", "--mesh-data", "4")
+    with jax.default_device(cpu0):
+        meta_transfer_train_main(
+            _argv(corpus, tmp_path, "resume-src", extra=mesh_flags))
+        capsys.readouterr()
+        ckpt = str(tmp_path / "resume-src" / "resume-src" / "step_4")
+
+        def resume_argv(name, extra):
+            a = _argv(corpus, tmp_path, name,
+                      extra=extra + ("--continue-from", ckpt))
+            a[a.index("--epochs") + 1] = "8"  # resume starts at it=4
+            return a
+
+        meta_transfer_train_main(resume_argv("resume-mesh", mesh_flags))
+        mesh_out = capsys.readouterr().out
+        meta_transfer_train_main(resume_argv("resume-single", ()))
+        single_out = capsys.readouterr().out
+
+    assert "RESTORED STATE" in mesh_out and "RESTORED STATE" in single_out
+    t_mesh, _ = _losses(mesh_out)
+    t_single, _ = _losses(single_out)
+    assert len(t_mesh) == len(t_single) == 4
+    np.testing.assert_allclose(t_mesh, t_single, rtol=2e-4, atol=1e-4)
