@@ -51,10 +51,14 @@ from .losses import ce_loss, ce_row_losses, ctc_loss, masked_loss_guard
 
 
 class TrainState(struct.PyTreeNode):
+    """``params`` is the FULL flax variables dict — for emb_cnn it carries a
+    ``batch_stats`` collection (BatchNorm running stats) alongside ``params``;
+    the train steps thread its updates via ``mutable=`` (see
+    ``_apply_batch_stats`` below) so eval/decode read fresh averages."""
+
     step: jnp.ndarray
     params: Any
     opt_state: Any
-    batch_stats: Any = None  # emb_cnn BatchNorm only
 
 
 def prepare_features(batch: Dict[str, jnp.ndarray], cfg: Config):
@@ -95,10 +99,22 @@ def make_forward_fn(model, cfg: Config) -> Callable:
         targets = batch["targets"]
         seq_in, seq_out = make_teacher_forcing(targets)
         rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
-        logits = model.apply(
-            params, feats, input_lengths, seq_in,
-            deterministic=deterministic, rngs=rngs,
-        )
+        new_bs = None
+        if not deterministic and "batch_stats" in params:
+            # emb_cnn: BatchNorm running stats mutate in train mode
+            # (models/asr/transformer.py:38-46 trains them implicitly);
+            # thread the updated collection out through aux.
+            logits, mutated = model.apply(
+                params, feats, input_lengths, seq_in,
+                deterministic=deterministic, rngs=rngs,
+                mutable=["batch_stats"],
+            )
+            new_bs = mutated["batch_stats"]
+        else:
+            logits = model.apply(
+                params, feats, input_lengths, seq_in,
+                deterministic=deterministic, rngs=rngs,
+            )
         if loss_type == "ctc":
             # Reference quirk: CTC consumes the *decoder* outputs with input
             # lengths rebuilt from src percentages (utils/metrics.py:127-148,
@@ -120,9 +136,26 @@ def make_forward_fn(model, cfg: Config) -> Callable:
             "gold": seq_out,
             "num_correct": num_correct,
         }
+        if new_bs is not None:
+            aux["batch_stats"] = new_bs
         return loss, aux
 
     return forward
+
+
+def _merge_batch_stats(params, aux) -> Any:
+    """Fold the task-stacked ``batch_stats`` a vmapped forward emitted (see
+    make_forward_fn) back into the variables dict: mean over the task axis.
+    The reference updates BN running stats sequentially task-by-task
+    (order-dependent momentum chain); the order-free mean has the same fixed
+    point and is exact for K=1."""
+    if not isinstance(aux, dict) or "batch_stats" not in aux:
+        return params
+    new_bs = jax.tree.map(lambda t: jnp.mean(t, axis=0),
+                          aux.pop("batch_stats"))
+    merged = dict(params)
+    merged["batch_stats"] = new_bs
+    return merged
 
 
 def _clip_tree(grads, max_norm: float):
@@ -170,6 +203,7 @@ def make_joint_step(model, cfg: Config, optimizer,
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
+        params = _merge_batch_stats(params, aux)
         new_state = state.replace(step=state.step + 1, params=params,
                                   opt_state=opt_state)
         return new_state, loss, aux
@@ -267,6 +301,10 @@ def make_meta_step(
         updates, opt_state = outer_optimizer.update(grads, state.opt_state,
                                                     state.params)
         params = optax.apply_updates(state.params, updates)
+        # emb_cnn BN running stats: adopt the query-forward (adapted-params)
+        # stats, like the reference's final forward of the iteration.
+        s_aux.pop("batch_stats", None)
+        params = _merge_batch_stats(params, q_aux)
         new_state = state.replace(step=state.step + 1, params=params,
                                   opt_state=opt_state)
         metrics = {

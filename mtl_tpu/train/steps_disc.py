@@ -27,7 +27,25 @@ from ..data.vocab import PAD_ID
 from ..ops.targets import make_teacher_forcing
 from .losses import adversarial_losses, ce_loss, masked_loss_guard
 from .optim import adam, sgd
-from .steps import TrainState, _clip_tree, prepare_features
+from .steps import TrainState, _clip_tree, _merge_batch_stats, prepare_features
+
+
+def _apply_with_encoder(model, params, feats, input_lengths, seq_in, rng):
+    """Training-mode forward_with_encoder that threads emb_cnn's BatchNorm
+    ``batch_stats`` mutation (steps.make_forward_fn does the same for the
+    plain forward). Returns (logits, enc, new_batch_stats_or_None)."""
+    if "batch_stats" in params:
+        (logits, enc), mutated = model.apply(
+            params, feats, input_lengths, seq_in, deterministic=False,
+            rngs={"dropout": rng}, method="forward_with_encoder",
+            mutable=["batch_stats"],
+        )
+        return logits, enc, mutated["batch_stats"]
+    logits, enc = model.apply(
+        params, feats, input_lengths, seq_in, deterministic=False,
+        rngs={"dropout": rng}, method="forward_with_encoder",
+    )
+    return logits, enc, None
 
 
 class DiscTrainState(struct.PyTreeNode):
@@ -69,6 +87,15 @@ def make_meta_step_disc(model, discriminator, cfg: Config, outer_optimizer,
     the discriminator trains from the same backward via its own optimizer.
     """
     from .steps import make_forward_fn
+
+    if cfg.train.second_order:
+        # The reference's copy-grad meta path is first-order too
+        # (trainer/asr/meta_trainer.py never differentiates through
+        # inner_opt.step); refuse rather than silently train a different
+        # algorithm than the flags claim.
+        raise ValueError(
+            "--second-order is not implemented for the adversarial/multitask"
+            " meta step; drop --second-order or the discriminator flags")
 
     forward = make_forward_fn(model, cfg)
     inner_lr = cfg.train.lr

@@ -18,11 +18,20 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
-# Persistent compilation cache makes repeated test runs fast.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+from __graft_entry__ import host_cache_dir  # noqa: E402
+
+# Persistent compilation cache makes repeated test runs fast. The dir is
+# keyed by host CPU features: XLA:CPU AOT entries written under different
+# machine features fail to load AND are never rewritten, so a shared dir
+# poisons every run into recompiling forever (round-3: 799 s suite).
+jax.config.update("jax_compilation_cache_dir", host_cache_dir())
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 

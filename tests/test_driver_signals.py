@@ -1,0 +1,56 @@
+"""The two driver-verified signals must be un-hangable (r3 post-mortem:
+MULTICHIP_r03 rc=124 / BENCH_r03 rc=1 — a hung axon TPU tunnel blocked the
+first jax.devices() in-process, and bench died at the first device_put).
+
+These tests simulate the worst case — PALLAS_AXON_POOL_IPS pointing at a
+blackhole, so the sitecustomize-registered axon PJRT plugin would hang any
+JAX process that touches the default backend — and assert both entry points
+still produce their contracted output."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BLACKHOLE = "10.255.255.1"  # non-routable: connects hang or fail, never serve
+
+
+def test_dryrun_multichip_unhangable_with_dead_tunnel():
+    """dryrun_multichip(8) must pass even when the axon tunnel env var points
+    at a dead address (the subprocess strips it and runs tunnel-free CPU)."""
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = BLACKHOLE
+    env["JAX_PLATFORMS"] = "axon"  # what the driver's shell exports
+    p = subprocess.run(
+        [sys.executable, "-c",
+         "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"],
+        env=env, cwd=REPO, timeout=1500, capture_output=True, text=True,
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert "dryrun_multichip OK" in p.stdout
+    assert "dryrun_multichip TP OK" in p.stdout
+
+
+def test_bench_emits_error_json_when_backend_dead():
+    """bench.py must emit ONE parseable JSON error line (with last_measured)
+    and exit 0 when the TPU backend is unreachable — never a traceback."""
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = BLACKHOLE
+    env["JAX_PLATFORMS"] = "axon"
+    env["MTL_BENCH_PREFLIGHT_S"] = "15"
+    env["MTL_BENCH_PREFLIGHT_ATTEMPTS"] = "2"
+    env["MTL_BENCH_BACKOFF_S"] = "1"
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, cwd=REPO, timeout=300, capture_output=True, text=True,
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    lines = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")]
+    assert len(lines) == 1, p.stdout
+    out = json.loads(lines[0])
+    assert "error" in out
+    # last good TPU numbers ride along so a dead-tunnel round still records
+    # the most recent measured performance
+    assert out["last_measured"]["metric"] == "meta_train_utt_per_sec_per_chip"
+    assert out["last_measured"]["value"] > 0
