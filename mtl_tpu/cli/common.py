@@ -56,16 +56,19 @@ def build_asr_model(cfg: Config, vocab: Vocab):
 
 
 def maybe_resume(cfg: Config):
-    """Returns (cfg, vocab, state, start_it, metrics) — rebuilding cfg/vocab
-    from the checkpoint like load_meta_model (utils/functions.py:158-188)."""
+    """Returns (cfg, vocab, None, start_it, metrics) — rebuilding cfg/vocab
+    from the checkpoint like load_meta_model (utils/functions.py:158-188).
+    Only the cheap JSON sidecar is read here; the tensor state is restored
+    exactly once, inside the trainer, into a typed target (avoids a second
+    full restore — ~minutes over a degraded TPU tunnel)."""
     if not cfg.continue_from:
         return cfg, None, None, 0, None
-    from ..utils.checkpoint import load_checkpoint
+    from ..utils.checkpoint import load_checkpoint_meta
 
-    saved_cfg, vocab, state, step, metrics = load_checkpoint(cfg.continue_from)
+    saved_cfg, vocab, step, metrics = load_checkpoint_meta(cfg.continue_from)
     # CLI manifests/iteration counts may be overridden by the new invocation
     saved_cfg.data = cfg.data
     saved_cfg.train.epochs = cfg.train.epochs
     saved_cfg.continue_from = cfg.continue_from
     saved_cfg.name = cfg.name
-    return saved_cfg, vocab, state, step, metrics
+    return saved_cfg, vocab, None, step, metrics

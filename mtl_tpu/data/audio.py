@@ -83,7 +83,7 @@ def _load_native() -> Optional[ctypes.CDLL]:
     return _lib
 
 
-def _native_decode(path: str) -> Optional[np.ndarray]:
+def _native_decode(path: str) -> Optional[Tuple[np.ndarray, int]]:
     lib = _load_native()
     if lib is None:
         return None
@@ -96,7 +96,7 @@ def _native_decode(path: str) -> Optional[np.ndarray]:
     if lib.wav_decode(p, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                       n.value) != 0:
         return None
-    return out
+    return out, sr.value
 
 
 def _pcm_to_float(raw: bytes, width: int, path: str) -> np.ndarray:
@@ -116,7 +116,7 @@ def _pcm_to_float(raw: bytes, width: int, path: str) -> np.ndarray:
     raise ValueError(f"unsupported sample width {width} in {path}")
 
 
-def _load_wav_riff(path: str) -> np.ndarray:
+def _load_wav_riff(path: str) -> Tuple[np.ndarray, int]:
     """Minimal RIFF/WAVE parser for formats the stdlib ``wave`` module
     rejects: IEEE-float (format 3) and WAVE_FORMAT_EXTENSIBLE (0xFFFE)
     wrapping PCM or float. Covers the float-WAV exports common in
@@ -146,7 +146,7 @@ def _load_wav_riff(path: str) -> np.ndarray:
                 break
     if fmt is None or data is None:
         raise ValueError(f"malformed WAV (missing fmt/data chunk): {path!r}")
-    (audio_format, n_ch, _rate, _byte_rate, _block, bits) = struct.unpack(
+    (audio_format, n_ch, rate, _byte_rate, _block, bits) = struct.unpack(
         "<HHIIHH", fmt[:16]
     )
     if audio_format == 0xFFFE and len(fmt) >= 40:  # EXTENSIBLE: subformat GUID
@@ -165,10 +165,10 @@ def _load_wav_riff(path: str) -> np.ndarray:
         )
     if n_ch > 1:
         y = y[: len(y) - len(y) % n_ch].reshape(-1, n_ch).mean(axis=1)
-    return np.ascontiguousarray(y, dtype=np.float32)
+    return np.ascontiguousarray(y, dtype=np.float32), int(rate)
 
 
-def _load_flac(path: str) -> np.ndarray:
+def _load_flac(path: str) -> Tuple[np.ndarray, int]:
     """FLAC decode via the from-scratch native decoder (audio_io.cpp).
 
     Real CommonVoice-style corpora ship compressed audio; the reference
@@ -189,7 +189,7 @@ def _load_flac(path: str) -> np.ndarray:
                           n.value)
     if got < 0:
         raise ValueError(f"FLAC decode failed: {path!r}")
-    return out
+    return out, sr.value
 
 
 _mpg123 = None
@@ -257,7 +257,7 @@ def _load_vorbisfile():
 _OV_FILE_SIZE = 4096
 
 
-def _load_ogg(path: str) -> np.ndarray:
+def _load_ogg(path: str) -> Tuple[np.ndarray, int]:
     lib = _load_vorbisfile()
     vf = ctypes.create_string_buffer(_OV_FILE_SIZE)
     rc = lib.ov_fopen(path.encode(), vf)
@@ -268,6 +268,7 @@ def _load_ogg(path: str) -> np.ndarray:
         if not info:
             raise ValueError(f"ogg stream without vorbis info: {path!r}")
         channels = info.contents.channels
+        rate = int(info.contents.rate)
         chunks = []
         buf = ctypes.create_string_buffer(1 << 16)
         bs = ctypes.c_int()
@@ -282,12 +283,12 @@ def _load_ogg(path: str) -> np.ndarray:
     finally:
         lib.ov_clear(vf)
     if not chunks:
-        return np.zeros(0, np.float32)
+        return np.zeros(0, np.float32), rate
     y = np.concatenate(chunks)
     if channels > 1:
         y = y[: len(y) - len(y) % channels].reshape(
             -1, channels).mean(axis=1)
-    return np.ascontiguousarray(y, np.float32)
+    return np.ascontiguousarray(y, np.float32), rate
 
 
 def _ogg_duration(path: str) -> float:
@@ -304,7 +305,7 @@ def _ogg_duration(path: str) -> float:
         lib.ov_clear(vf)
 
 
-def _load_mp3(path: str) -> np.ndarray:
+def _load_mp3(path: str) -> Tuple[np.ndarray, int]:
     lib = _load_mpg123_lib()
     err = ctypes.c_int()
     h = lib.mpg123_new(None, ctypes.byref(err))
@@ -343,12 +344,12 @@ def _load_mp3(path: str) -> np.ndarray:
     finally:
         lib.mpg123_delete(h)
     if not chunks:
-        return np.zeros(0, np.float32)
+        return np.zeros(0, np.float32), int(rate.value)
     y = np.concatenate(chunks)
     if channels.value > 1:
         y = y[: len(y) - len(y) % channels.value].reshape(
             -1, channels.value).mean(axis=1)
-    return np.ascontiguousarray(y, np.float32)
+    return np.ascontiguousarray(y, np.float32), int(rate.value)
 
 
 def _sniff(path: str) -> bytes:
@@ -356,19 +357,19 @@ def _sniff(path: str) -> bytes:
         return f.read(4)
 
 
-def load_audio(path: str) -> np.ndarray:
-    """Decode an audio file to float32 mono in [-1, 1].
+def load_audio_with_rate(path: str) -> Tuple[np.ndarray, int]:
+    """Decode to float32 mono in [-1, 1], returning (samples, stream rate).
 
     Containers: PCM/float WAV (native C++ core + numpy fallback), FLAC
     (from-scratch native decoder), mp3 (libmpg123), ogg/vorbis
-    (libvorbisfile), ``.npy`` arrays for fixtures. The reference reads all
-    of these through torchaudio (utils/audio.py:7-12, channel-mean
-    mixdown)."""
+    (libvorbisfile), ``.npy`` arrays for fixtures (rate reported as 0 =
+    unknown). The reference reads all of these through torchaudio
+    (utils/audio.py:7-12, channel-mean mixdown)."""
     if path.endswith(".npy"):
         y = np.load(path)
         if y.ndim > 1:
             y = y.mean(axis=-1)
-        return y.astype(np.float32)
+        return y.astype(np.float32), 0
     head = _sniff(path)
     if head == b"fLaC":
         return _load_flac(path)
@@ -378,13 +379,14 @@ def load_audio(path: str) -> np.ndarray:
                               and (head[1] & 0xE0) == 0xE0
                               and head[:4] != b"RIFF"):
         return _load_mp3(path)
-    y = _native_decode(path)
-    if y is not None:
-        return y
+    decoded = _native_decode(path)
+    if decoded is not None:
+        return decoded
     try:
         with wave.open(path, "rb") as f:
             n_ch = f.getnchannels()
             width = f.getsampwidth()
+            rate = f.getframerate()
             n = f.getnframes()
             raw = f.readframes(n)
     except wave.Error:
@@ -392,11 +394,25 @@ def load_audio(path: str) -> np.ndarray:
     y = _pcm_to_float(raw, width, path)
     if n_ch > 1:
         y = y.reshape(-1, n_ch).mean(axis=1)
+    return y, int(rate)
+
+
+def load_audio(path: str, sample_rate: Optional[int] = None) -> np.ndarray:
+    """Decode to float32 mono. With ``sample_rate`` given, audio whose
+    stream rate differs is RESAMPLED to it (linear, like the tempo
+    augmenter) — a 44.1/48 kHz CommonVoice mp3/FLAC previously slipped
+    through at its native rate and produced silently time-stretched
+    features (ADVICE r3). Without it, the stream's native rate is kept."""
+    y, sr = load_audio_with_rate(path)
+    if sample_rate and sr and sr != sample_rate:
+        y = resample_linear(y, sr / float(sample_rate))
     return y
 
 
 def get_audio_length(path: str, sample_rate: int = 16000) -> float:
-    """Duration in seconds (utils/audio.py:14-18 soxi parity)."""
+    """Duration in seconds (utils/audio.py:14-18 soxi parity — soxi -D uses
+    the stream's OWN rate, so ``sample_rate`` only applies to rateless .npy
+    fixtures)."""
     if path.endswith(".npy"):
         return len(np.load(path, mmap_mode="r")) / sample_rate
     head = _sniff(path)
@@ -412,9 +428,47 @@ def get_audio_length(path: str, sample_rate: int = 16000) -> float:
         return _ogg_duration(path)
     if head[:3] == b"ID3" or (head and head[0] == 0xFF and head[:4] != b"RIFF"
                               and (head[1] & 0xE0) == 0xE0):
-        return len(_load_mp3(path)) / sample_rate
-    with wave.open(path, "rb") as f:
-        return f.getnframes() / f.getframerate()
+        return _mp3_duration(path)
+    try:
+        with wave.open(path, "rb") as f:
+            return f.getnframes() / f.getframerate()
+    except wave.Error:
+        y, sr = _load_wav_riff(path)  # float/extensible WAV
+        return len(y) / max(sr, 1)
+
+
+def _mp3_duration(path: str) -> float:
+    """mp3 duration via mpg123_scan + mpg123_length (frame index scan — no
+    full decode) at the stream's own rate; decodes only if the scan API is
+    missing."""
+    lib = _load_mpg123_lib()
+    err = ctypes.c_int()
+    h = lib.mpg123_new(None, ctypes.byref(err))
+    if not h:
+        raise ValueError(f"mpg123 handle failed ({err.value}) for {path!r}")
+    try:
+        if lib.mpg123_open(h, path.encode()) != 0:
+            raise ValueError(f"cannot open mp3: {path!r}")
+        rate = ctypes.c_long()
+        channels = ctypes.c_int()
+        enc = ctypes.c_int()
+        lib.mpg123_getformat(h, ctypes.byref(rate), ctypes.byref(channels),
+                             ctypes.byref(enc))
+        try:
+            lib.mpg123_scan.argtypes = [ctypes.c_void_p]
+            lib.mpg123_length.restype = ctypes.c_int64  # off_t, LP64
+            lib.mpg123_length.argtypes = [ctypes.c_void_p]
+            lib.mpg123_scan(h)  # exact length for VBR streams
+            n = lib.mpg123_length(h)
+        except AttributeError:
+            n = -1
+        lib.mpg123_close(h)
+    finally:
+        lib.mpg123_delete(h)
+    if n > 0 and rate.value > 0:
+        return n / rate.value
+    y, sr = _load_mp3(path)  # last resort: full decode
+    return len(y) / max(sr, 1)
 
 
 def resample_linear(y: np.ndarray, rate: float) -> np.ndarray:
@@ -467,7 +521,7 @@ class NoiseInjector:
 
     def inject(self, data: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
         noise_path = self.paths[rng.randint(len(self.paths))]
-        noise = load_audio(noise_path)
+        noise = load_audio(noise_path, self.sample_rate)
         level = rng.uniform(*self.noise_levels)
         if len(noise) < len(data):
             reps = int(np.ceil(len(data) / len(noise)))

@@ -191,7 +191,7 @@ class SpectrogramDataset:
         randomized = self.augment or self.noise_injector is not None
         if not randomized and audio_path in self._wave_cache:
             return self._wave_cache[audio_path]
-        y = load_audio(audio_path)
+        y = load_audio(audio_path, self.cfg.audio.sample_rate)
         if self.augment:
             y = augment_audio(y, self.rng)
         if self.noise_injector is not None:

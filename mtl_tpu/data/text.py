@@ -159,7 +159,7 @@ def segment_wav_corpus(
     from .synthetic import write_wav
 
     os.makedirs(out_dir, exist_ok=True)
-    y = load_audio(source_wav)
+    y = load_audio(source_wav, sample_rate)
     written = []
     with open(transcript_path, encoding="utf-8") as f:
         for part_num, line in enumerate(f):

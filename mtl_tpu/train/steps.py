@@ -169,7 +169,8 @@ def _clip_tree(grads, max_norm: float):
 # ---------------------------------------------------------------------------
 
 def make_joint_step(model, cfg: Config, optimizer,
-                    donate: bool = False) -> Callable:
+                    donate: bool = False,
+                    space_id: Optional[int] = None) -> Callable:
     """One jitted joint-training iteration over stacked task batches.
 
     ``batches``: pytree whose leaves have a leading task axis K (K=1 for the
@@ -180,6 +181,10 @@ def make_joint_step(model, cfg: Config, optimizer,
     params+opt-state double-buffer in HBM). The trainers enable it (they
     never reuse the old state); default off so callers may inspect the
     pre-step state.
+
+    With ``cfg.train.device_cer`` the training CER is computed ON DEVICE
+    (wavefront edit-distance DP) and returned as ``aux["cer_dist"]``/
+    ``aux["cer_chars"]`` — no per-step host string decode.
     """
     forward = make_forward_fn(model, cfg)
 
@@ -206,6 +211,15 @@ def make_joint_step(model, cfg: Config, optimizer,
         params = _merge_batch_stats(params, aux)
         new_state = state.replace(step=state.step + 1, params=params,
                                   opt_state=opt_state)
+        if cfg.train.device_cer:
+            from ..ops.edit_distance_jax import device_cer
+
+            k, b, l = aux["hyp"].shape
+            d, c = device_cer(aux["hyp"].reshape(k * b, l),
+                              aux["gold"].reshape(k * b, l),
+                              space_id=space_id)
+            aux["cer_dist"] = d
+            aux["cer_chars"] = c
         return new_state, loss, aux
 
     return step
@@ -235,6 +249,19 @@ def make_meta_step(
     second_order = cfg.train.second_order
     clip = cfg.train.clip
     max_norm = cfg.train.max_norm
+    if cfg.train.copy_grad and second_order:
+        raise ValueError("--copy-grad (first-order) contradicts "
+                         "--second-order; pass one or the other")
+    if not second_order:
+        import logging
+
+        # --copy-grad is a no-op by design: the reference's meta path is
+        # ALWAYS first-order (torch autograd never flows through
+        # inner_opt.step, transient_trainer.py:155-255), so the flat
+        # first-order form below is exact with or without the flag.
+        logging.getLogger(__name__).info(
+            "meta step: flat first-order outer gradients (reference parity;"
+            " --copy-grad names this and changes nothing)")
 
     def task_outer_loss(params, support_batch, query_batch, rng):
         rng_s, rng_q = jax.random.split(rng)

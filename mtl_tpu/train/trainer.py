@@ -511,7 +511,8 @@ class JointTrainer(TrainerBase):
             # input is already consumed by the time an execution error
             # surfaces (the transient trainer's step runs outside its
             # recovery try, so it donates safely)
-            step_fn = make_joint_step(self.model, cfg, opt)
+            step_fn = make_joint_step(self.model, cfg, opt,
+                                      space_id=self.vocab.label2id.get(" "))
 
         num_tasks = len(train_dataset.ids_list)
 
@@ -604,7 +605,15 @@ class JointTrainer(TrainerBase):
                                            jnp.asarray(cur_beta))
             else:
                 state, loss, aux = step_fn(state, support, sub)
-            cer, nchar = batch_cer(aux["hyp"], aux["gold"], self.vocab)
+            # same gating as the transient trainer: --device-cer scores on
+            # device; otherwise host string CER only every --train-cer-every
+            # iterations (each host decode is a full device sync)
+            if cfg.train.device_cer and "cer_dist" in aux:
+                cer, nchar = int(aux["cer_dist"]), max(int(aux["cer_chars"]), 1)
+            elif (it + 1) % max(cfg.train.train_cer_every, 1) == 0:
+                cer, nchar = batch_cer(aux["hyp"], aux["gold"], self.vocab)
+            else:
+                cer, nchar = 0, 1
             total_time += time.time() - t0
             # reference logs the SUM of per-task losses / num_tasks
             log_loss = float(loss)
@@ -671,7 +680,8 @@ class EpochTrainer(TrainerBase):
         opt = make_epoch_optimizer(cfg)
         # no donation: the epoch loop's skip-on-error path re-uses the input
         # state after a failed step (see JointTrainer)
-        step_fn = make_joint_step(self.model, cfg, opt)
+        step_fn = make_joint_step(self.model, cfg, opt,
+                                  space_id=self.vocab.label2id.get(" "))
         rng = jax.random.PRNGKey(cfg.train.seed)
         stopper = EarlyStopper(cfg.train.early_stop)
 
@@ -714,7 +724,16 @@ class EpochTrainer(TrainerBase):
                     batches = jax.tree.map(lambda x: x[None], batch)
                     batches = self._shard(batches, (None, "data"))
                     state, loss, aux = step_fn(state, batches, sub)
-                    cer, nchar = batch_cer(aux["hyp"], aux["gold"], self.vocab)
+                    # --device-cer / --train-cer-every gating (see
+                    # JointTrainer; n counts completed batches this epoch)
+                    if cfg.train.device_cer and "cer_dist" in aux:
+                        cer, nchar = (int(aux["cer_dist"]),
+                                      max(int(aux["cer_chars"]), 1))
+                    elif (n + 1) % max(cfg.train.train_cer_every, 1) == 0:
+                        cer, nchar = batch_cer(aux["hyp"], aux["gold"],
+                                               self.vocab)
+                    else:
+                        cer, nchar = 0, 1
                 except Exception as e:
                     failures += 1
                     log_print(f"Error: {e!r}, skipping batch...")

@@ -74,6 +74,19 @@ def save_checkpoint(
     return path
 
 
+def load_checkpoint_meta(path: str) -> Tuple[Config, Vocab, int, dict]:
+    """(config, vocab, step, metrics) from the JSON sidecar ONLY — no tensor
+    restore. Resume reads the heavy state exactly once, inside the trainer,
+    restored into a typed freshly-initialized target; the CLI layer only
+    needs the config/vocab/step to rebuild the model (the reference's
+    load_meta_model splits the same way, utils/functions.py:158-188)."""
+    path = os.path.abspath(path)
+    with open(os.path.join(path, "meta.json"), encoding="utf-8") as f:
+        meta = json.load(f)
+    return (Config.from_dict(meta["config"]), Vocab.from_dict(meta["vocab"]),
+            meta["step"], meta.get("metrics", {}))
+
+
 def load_checkpoint(
     path: str, target=None
 ) -> Tuple[Config, Vocab, Any, int, dict]:

@@ -327,13 +327,17 @@ bool decode_subframe(BitReader& br, int32_t* x, uint32_t blocksize, int bps) {
     return false;  // reserved type
   }
   if (wasted)
+    // shift in uint64_t: wasted can be 32 (sub_bps 33, bps 1) and a 32-bit
+    // shift by 32 is undefined behavior
     for (uint32_t i = 0; i < blocksize; ++i)
-      x[i] = int32_t(uint32_t(x[i]) << wasted);
+      x[i] = int32_t(uint32_t(uint64_t(uint32_t(x[i])) << wasted));
   return !br.err;
 }
 
 // Decode the whole stream to mono float32 (channel mean). Returns samples
-// written, or -1 on error.
+// written, or -1 on error. With out == nullptr, runs a counting pass over
+// every frame instead (for STREAMINFO total_samples == 0, the spec's legal
+// "unknown length" of live-encoded streams); max_out is then ignored.
 int64_t decode_mono(const std::vector<uint8_t>& file, const StreamInfo& si,
                     float* out, int64_t max_out) {
   BitReader br{file.data(), file.size()};
@@ -342,7 +346,7 @@ int64_t decode_mono(const std::vector<uint8_t>& file, const StreamInfo& si,
   int64_t written = 0;
   std::vector<std::vector<int32_t>> ch(si.channels);
 
-  while (written < max_out) {
+  while (out == nullptr || written < max_out) {
     br.align();
     // find frame sync 0b11111111 111110xx
     while (!br.eof()) {
@@ -428,12 +432,14 @@ int64_t decode_mono(const std::vector<uint8_t>& file, const StreamInfo& si,
     }
 
     const int64_t todo =
-        std::min<int64_t>(blocksize, max_out - written);
-    for (int64_t i = 0; i < todo; ++i) {
-      double acc = 0.0;
-      for (uint32_t c = 0; c < nch; ++c) acc += ch[c][i] * scale;
-      out[written + i] = float(acc / nch);
-    }
+        out ? std::min<int64_t>(blocksize, max_out - written)
+            : int64_t(blocksize);
+    if (out)
+      for (int64_t i = 0; i < todo; ++i) {
+        double acc = 0.0;
+        for (uint32_t c = 0; c < nch; ++c) acc += ch[c][i] * scale;
+        out[written + i] = float(acc / nch);
+      }
     written += todo;
   }
   return written;
@@ -461,11 +467,19 @@ std::vector<uint8_t> read_file(const char* path) {
 extern "C" {
 
 // FLAC probe: 0 on success (fills mono sample count + rate), -1 otherwise.
+// STREAMINFO total_samples == 0 is the spec's legal "unknown length"
+// (streamed/live-encoded FLAC): the frames are then counted by a decoding
+// pass instead of rejecting the file as malformed.
 int32_t flac_probe(const char* path, int64_t* n_mono, int32_t* sample_rate) {
   const std::vector<uint8_t> f = flac::read_file(path);
   const flac::StreamInfo si = flac::parse_header(f);
-  if (!si.ok || si.total_samples == 0) return -1;
-  *n_mono = int64_t(si.total_samples);
+  if (!si.ok) return -1;
+  int64_t n = int64_t(si.total_samples);
+  if (n == 0) {
+    n = flac::decode_mono(f, si, nullptr, 0);
+    if (n <= 0) return -1;
+  }
+  *n_mono = n;
   *sample_rate = int32_t(si.sample_rate);
   return 0;
 }

@@ -243,3 +243,73 @@ def test_checkpoint_roundtrip(tiny_cfg, tmp_path):
     p1 = jax.tree.leaves(state.params)
     p2 = jax.tree.leaves(state2["params"])
     assert all(np.allclose(a, b) for a, b in zip(p1, p2))
+
+
+def test_resume_loads_checkpoint_once(tiny_cfg, tmp_path, monkeypatch):
+    """A CLI resume must restore the tensor state exactly ONCE (the r3
+    double-load: maybe_resume restored the full state, the trainer then
+    discarded it and re-restored — twice the cost over a degraded tunnel)."""
+    import optax
+
+    import mtl_tpu.utils.checkpoint as ckpt_mod
+    from mtl_tpu.cli.asr import meta_transfer_train_main
+    from mtl_tpu.models.transformer import build_model
+    from mtl_tpu.train.steps import init_train_state
+    from mtl_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = tiny_cfg
+    cfg.save_folder = str(tmp_path)
+    vocab = Vocab.from_json(cfg.data.labels_path)
+    ds = SpectrogramDataset(vocab, cfg, cfg.data.train_manifest_list,
+                            is_train=True, seed=11)
+    support, _ = ds.sample_meta_batch(cfg.train.k_train, cfg.train.k_valid)
+    model = build_model(cfg, len(vocab))
+    opt = optax.adam(cfg.train.meta_lr)
+    state = init_train_state(
+        model, cfg, opt, jax.random.PRNGKey(1),
+        jax.tree.map(lambda x: jnp.asarray(x[0]), support),
+    )
+    path = save_checkpoint(cfg, vocab, state, 1)
+
+    calls = []
+    real = ckpt_mod.load_checkpoint
+    monkeypatch.setattr(ckpt_mod, "load_checkpoint",
+                        lambda *a, **kw: calls.append(1) or real(*a, **kw))
+    meta_transfer_train_main([
+        "--name", "resume_once",
+        "--train-manifest-list", *cfg.data.train_manifest_list,
+        "--valid-manifest-list", cfg.data.valid_manifest_list[-1],
+        "--labels-path", cfg.data.labels_path,
+        "--continue-from", path,
+        "--src-buckets", "64", "--tgt-buckets", "16",
+        "--epochs", "2",  # start_it=1 from the checkpoint -> one more step
+        "--evaluate-every", "1000000", "--save-every", "1000000",
+        "--save-folder", str(tmp_path),
+    ])
+    assert len(calls) == 1, f"expected ONE tensor restore, saw {len(calls)}"
+
+
+def test_joint_trainer_honors_train_cer_every(tiny_cfg, monkeypatch):
+    """--train-cer-every N must gate the host CER decode in JointTrainer
+    (each decode is a full device sync): 5 iterations at N=5 -> ONE call."""
+    import mtl_tpu.train.trainer as trainer_mod
+    from mtl_tpu.models.transformer import build_model
+    from mtl_tpu.train.trainer import JointTrainer
+
+    cfg = tiny_cfg
+    cfg.train.train_cer_every = 5
+    cfg.train.evaluate_every = 10**9
+    vocab = Vocab.from_json(cfg.data.labels_path)
+    ds = SpectrogramDataset(vocab, cfg, cfg.data.train_manifest_list,
+                            is_train=True, seed=13)
+    model = build_model(cfg, len(vocab))
+
+    calls = []
+    real = trainer_mod.batch_cer
+    monkeypatch.setattr(trainer_mod, "batch_cer",
+                        lambda *a, **kw: calls.append(1) or real(*a, **kw))
+    trainer = JointTrainer(model, cfg, vocab)
+    trainer.train(ds, [], start_it=0, num_it=5)
+    cfg.train.train_cer_every = 1
+    cfg.train.evaluate_every = 1000
+    assert len(calls) == 1, f"expected 1 gated CER call, saw {len(calls)}"

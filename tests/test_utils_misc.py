@@ -143,9 +143,11 @@ def test_native_wav_decode_matches_python(tmp_path, fmt, n_ch):
     path = str(tmp_path / f"x_{fmt}_{n_ch}.wav")
     _write_wav(path, data, n_ch=n_ch, fmt=fmt)
 
-    got_native = audio._native_decode(path)
-    if got_native is None:
+    decoded = audio._native_decode(path)
+    if decoded is None:
         pytest.skip("native audio lib unavailable")
+    got_native, got_rate = decoded
+    assert got_rate == 16000
     # python paths: wave module (pcm) or RIFF parser (float)
     try:
         import wave as _w
@@ -156,7 +158,7 @@ def test_native_wav_decode_matches_python(tmp_path, fmt, n_ch):
             if f.getnchannels() > 1:
                 y = y.reshape(-1, f.getnchannels()).mean(axis=1)
     except Exception:
-        y = audio._load_wav_riff(path)
+        y, _ = audio._load_wav_riff(path)
     np.testing.assert_allclose(got_native, y, atol=2e-7)
     assert got_native.dtype == np.float32
 
@@ -412,3 +414,120 @@ def test_ogg_decode_matches_wav_twin(tmp_path):
     # duration probe agrees (soxi parity path)
     assert audio.get_audio_length(ogg_path) == pytest.approx(m / rate,
                                                              abs=0.05)
+
+
+def test_load_audio_resamples_nonpipeline_rate(tmp_path):
+    """A 8 kHz stream loaded with the 16 kHz pipeline rate must come back
+    resampled (2x samples), not silently time-stretched (ADVICE r3: the
+    FLAC/mp3/ogg loaders discarded the stream rate)."""
+    from mtl_tpu.data import audio
+
+    n = 4000
+    rng = np.random.RandomState(7)
+    sig = np.clip(rng.randn(n) * 0.2, -1, 1)
+    wav = str(tmp_path / "r8k.wav")
+    _write_wav(wav, sig, n_ch=1, fmt="pcm16", rate=8000)
+
+    y_native = audio.load_audio(wav)  # no target rate: native length
+    assert len(y_native) == n
+    y, sr = audio.load_audio_with_rate(wav)
+    assert sr == 8000 and len(y) == n
+    y16 = audio.load_audio(wav, 16000)
+    assert len(y16) == 2 * n
+    # duration comes from the stream's own rate (soxi -D semantics)
+    assert abs(audio.get_audio_length(wav) - n / 8000.0) < 1e-6
+
+    if audio._load_native() is not None:
+        pcm = (np.clip(sig, -1, 1) * 32767).astype(np.int16)
+        flac = str(tmp_path / "r8k.flac")
+        _write_flac(flac, pcm, n_ch=1, rate=8000)
+        yf, srf = audio.load_audio_with_rate(flac)
+        assert srf == 8000 and len(yf) == n
+        assert len(audio.load_audio(flac, 16000)) == 2 * n
+        assert abs(audio.get_audio_length(flac) - n / 8000.0) < 1e-6
+
+
+def test_mp3_duration_uses_stream_rate(tmp_path):
+    """get_audio_length for mp3 must divide by the stream's OWN rate (a
+    22.05 kHz file was previously reported ~1.38x too long) and must not
+    need a full decode (mpg123_scan + mpg123_length)."""
+    import ctypes
+
+    from mtl_tpu.data import audio
+
+    try:
+        lame = ctypes.CDLL("libmp3lame.so.0")
+    except OSError:
+        pytest.skip("no libmp3lame to write mp3 fixtures")
+    rate = 22050
+    n = rate  # exactly 1 second
+    t = np.arange(n) / rate
+    pcm = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16)
+
+    lame.lame_init.restype = ctypes.c_void_p
+    for fn in ("lame_set_in_samplerate", "lame_set_out_samplerate",
+               "lame_set_num_channels", "lame_set_mode", "lame_init_params",
+               "lame_close"):
+        getattr(lame, fn).argtypes = [ctypes.c_void_p] + (
+            [ctypes.c_int] if fn.startswith("lame_set") else [])
+    lame.lame_encode_buffer.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16),
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_int, ctypes.c_char_p,
+        ctypes.c_int]
+    lame.lame_encode_flush.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                       ctypes.c_int]
+    g = lame.lame_init()
+    lame.lame_set_in_samplerate(g, rate)
+    lame.lame_set_out_samplerate(g, rate)
+    lame.lame_set_num_channels(g, 1)
+    lame.lame_set_mode(g, 3)  # mono
+    assert lame.lame_init_params(g) >= 0
+    buf = ctypes.create_string_buffer(2 * n + 7200)
+    sz = lame.lame_encode_buffer(
+        g, pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), None, n, buf,
+        len(buf))
+    out = buf.raw[:sz]
+    sz = lame.lame_encode_flush(g, buf, len(buf))
+    out += buf.raw[:sz]
+    lame.lame_close(g)
+    path = str(tmp_path / "tone22k.mp3")
+    with open(path, "wb") as f:
+        f.write(out)
+
+    dur = audio.get_audio_length(path)  # default sample_rate arg = 16000
+    assert abs(dur - 1.0) < 0.1, dur  # NOT ~1.38 s (22050/16000 bug)
+    y, sr = audio.load_audio_with_rate(path)
+    assert sr == rate
+    # pipeline-rate load resamples 22.05k -> 16k
+    y16 = audio.load_audio(path, 16000)
+    assert abs(len(y16) - len(y) * 16000 / rate) <= 2
+
+
+def test_flac_unknown_length_stream(tmp_path):
+    """STREAMINFO total_samples == 0 is the spec's legal 'unknown length'
+    (live-encoded FLAC) — the probe must count frames, not reject the file
+    as malformed (ADVICE r3)."""
+    from mtl_tpu.data import audio
+
+    if audio._load_native() is None:
+        pytest.skip("native audio lib unavailable")
+    rng = np.random.RandomState(11)
+    n = 3000
+    pcm = (np.clip(rng.randn(n) * 0.25, -1, 1) * 32767).astype(np.int16)
+    path = str(tmp_path / "unk.flac")
+    _write_flac(path, pcm, n_ch=1, rate=16000)
+    want = audio.load_audio(path)
+
+    # zero out STREAMINFO total_samples (bits 4..39 of bytes 13..17 of the
+    # first metadata block, which starts at file offset 8)
+    raw = bytearray(open(path, "rb").read())
+    assert raw[:4] == b"fLaC"
+    raw[8 + 13] &= 0xF0
+    raw[8 + 14:8 + 18] = b"\x00\x00\x00\x00"
+    unk = str(tmp_path / "unk0.flac")
+    with open(unk, "wb") as f:
+        f.write(raw)
+
+    assert abs(audio.get_audio_length(unk) - n / 16000.0) < 1e-6
+    got = audio.load_audio(unk)
+    np.testing.assert_allclose(got, want, atol=0)
