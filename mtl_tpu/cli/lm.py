@@ -65,6 +65,14 @@ def lm_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--cuda", action="store_true")
     p.add_argument("--log_path", type=str, default="./log")
     p.add_argument("--log-interval", type=int, default=200)
+    # Reference cadence (lm/main_joint.py:385-391): train-loss log every 200
+    # its, validation/anneal every 600 its — decoupled knobs.
+    p.add_argument("--valid-interval", type=int, default=600)
+    # The reference runs joint/meta LM training on a fixed 1,000,000-
+    # iteration budget with patience-5 early stop (its --epochs is unused
+    # there). 0 keeps this CLI's legacy mapping num_it = epochs * 100 for
+    # bounded runs; pass --num-iterations 1000000 for exact parity.
+    p.add_argument("--num-iterations", type=int, default=0)
     p.add_argument("--save", type=str, default="./model")
     p.add_argument("--load", type=str, default=None)
     p.add_argument("--second-order", action="store_true")
@@ -207,6 +215,86 @@ def _load_chained_corpora(args):
     return corpora, dictionary
 
 
+def _corpus_label(path: Optional[str], i: int) -> str:
+    """Human corpus tag from its train path (the reference hardcodes
+    SEAME/CV/HKUST; these CLIs take arbitrary paths)."""
+    if not path:
+        return f"TASK{i}"
+    parent = os.path.basename(os.path.dirname(os.path.normpath(path)))
+    stem = os.path.splitext(os.path.basename(path))[0]
+    return (parent or stem or f"task{i}").upper()
+
+
+def _end_of_training_report(model, best_params, corpora, labels, bptt):
+    """End-of-training test evaluation over ALL corpora with the best model
+    (lm/main_joint.py:398-415 — reload best, report test loss/ppl per
+    corpus; best_params here IS the reloaded best)."""
+    results = {}
+    for label, c in zip(labels, corpora):
+        if c.test is None:
+            continue
+        loss = evaluate_lm(model, best_params, c.test, bptt)
+        log_print("{} {}| End of training | test loss {:5.2f} | test ppl "
+                  "{:8.2f}{}".format(label, "=" * 89, loss,
+                                     math.exp(min(loss, 30)), "=" * 89))
+        results[label] = loss
+    return results
+
+
+class _LMValidator:
+    """Shared valid/anneal/patience state for the iteration-based LM mains
+    (lm/main_joint.py:340-378): validate every --valid-interval, per-valid
+    target test line, keep best params, lr/4 on plateau, stop at patience 5."""
+
+    def __init__(self, model, args, target_valid, target_test, init_params):
+        self.model, self.args = model, args
+        self.target_valid, self.target_test = target_valid, target_test
+        self.lr = args.lr
+        self.best_val, self.counter = None, 0
+        self.best_params = init_params
+        self.window_loss = 0.0  # train loss since the last validation
+        self.t_log = time.time()
+
+    def after_step(self, it: int, params, total_loss: float,
+                   tag: str = "word_loss") -> bool:
+        """Returns True when training should stop (patience exhausted)."""
+        args = self.args
+        self.window_loss += total_loss
+        log_interval = max(1, args.log_interval)
+        valid_interval = max(1, args.valid_interval)
+        if it % log_interval == 0:
+            denom = it % valid_interval or valid_interval
+            cur = self.window_loss / denom
+            elapsed = time.time() - self.t_log
+            log_print("| it {:5d} | lr {:02.2f} | ms/batch {:5.2f} | {} "
+                      "{:5.2f} | avg ppl {:8.2f}".format(
+                          it, self.lr, elapsed * 1000 / log_interval, tag,
+                          cur, math.exp(min(cur, 30))))
+            self.t_log = time.time()
+        if it % valid_interval:
+            return False
+        if self.target_valid is not None:
+            val_loss = evaluate_lm(self.model, params, self.target_valid,
+                                   args.bptt)
+        else:
+            val_loss = total_loss
+        log_print("it {} | val loss {:5f} | ppl {:5f}".format(
+            it, val_loss, math.exp(min(val_loss, 30))))
+        if self.target_test is not None:  # lm/main_joint.py:360-361
+            test_loss = evaluate_lm(self.model, params, self.target_test,
+                                    args.bptt)
+            log_print("it {} | test loss {:5f} | ppl {:5f}".format(
+                it, test_loss, math.exp(min(test_loss, 30))))
+        if self.best_val is None or val_loss < self.best_val:
+            self.best_val, self.counter = val_loss, 0
+            self.best_params = params
+        else:
+            self.lr /= 4.0
+            self.counter += 1
+        self.window_loss = 0.0
+        return self.counter == 5
+
+
 def main_joint_main(argv=None):
     """lm/main_joint.py: ratio-weighted multi-corpus training."""
     args = lm_parser("Joint LM (TPU)").parse_args(argv)
@@ -222,37 +310,29 @@ def main_joint_main(argv=None):
     target_valid = next(
         (c.valid for c in reversed(corpora) if c.valid is not None), None
     )
+    target_test = next(
+        (c.test for c in reversed(corpora) if c.test is not None), None
+    )
 
     rng = jax.random.PRNGKey(args.seed)
-    lr = args.lr
-    best_val, counter, best_params = None, 0, params
-    num_it = args.epochs * 100
-    eval_every = max(1, args.log_interval)
-    for it in range(num_it):
-        samples = [ds.sample(i, it) for i in range(len(corpora))]
+    num_it = args.num_iterations or args.epochs * 100
+    val = _LMValidator(model, args, target_valid, target_test, params)
+    for it in range(1, num_it + 1):
+        samples = [ds.sample(i, it - 1) for i in range(len(corpora))]
         datas = np.stack([s[0] for s in samples])
         targets = np.stack([s[1] for s in samples])
         rng, sub = jax.random.split(rng)
-        params, total, losses = step(params, datas, targets, lr, sub)
-        if (it + 1) % eval_every == 0:
-            if target_valid is not None:
-                val_loss = evaluate_lm(model, params, target_valid, args.bptt)
-            else:
-                val_loss = float(total)
-            log_print("| it {:5d} | lr {:02.2f} | loss {:5.2f} | valid loss "
-                      "{:5.2f} | valid ppl {:8.2f}".format(
-                          it + 1, lr, float(total), val_loss,
-                          math.exp(min(val_loss, 30))))
-            if best_val is None or val_loss < best_val:
-                best_val, counter, best_params = val_loss, 0, params
-            else:
-                lr /= 4.0
-                counter += 1
-            if counter == 5:
-                break
+        params, total, losses = step(params, datas, targets, val.lr, sub)
+        if val.after_step(it, params, float(total)):
+            break
     save_path = os.path.join(args.save,
                              "joint_" + _log_name(args, f"_ratio{args.ratio}"))
-    save_lm_ckpt(save_path, best_params, dictionary, args, ntokens)
+    save_lm_ckpt(save_path, val.best_params, dictionary, args, ntokens)
+    labels = [_corpus_label(p, i)
+              for i, p in enumerate(args.train_path_list
+                                    or [args.train_path])]
+    _end_of_training_report(model, val.best_params, corpora, labels,
+                            args.bptt)
     log_print(f"SAVED {save_path}")
     return save_path
 
@@ -274,40 +354,33 @@ def main_meta_transfer_main(argv=None):
     target_valid = next(
         (c.valid for c in reversed(corpora) if c.valid is not None), None
     )
+    target_test = next(
+        (c.test for c in reversed(corpora) if c.test is not None), None
+    )
 
     rng = jax.random.PRNGKey(args.seed)
-    lr = args.lr
-    best_val, counter, best_params = None, 0, params
-    num_it = args.epochs * 100
-    for it in range(num_it):
+    num_it = args.num_iterations or args.epochs * 100
+    val = _LMValidator(model, args, target_valid, target_test, params)
+    for it in range(1, num_it + 1):
         # query = the LAST task's window (lm/main_meta_transfer.py:302)
-        _, _, q_data, q_target = ds.sample(-1, it)
-        samples = [ds.sample(i, it) for i in range(len(corpora))]
+        _, _, q_data, q_target = ds.sample(-1, it - 1)
+        samples = [ds.sample(i, it - 1) for i in range(len(corpora))]
         datas = np.stack([s[0] for s in samples])
         targets = np.stack([s[1] for s in samples])
         rng, sub = jax.random.split(rng)
         params, total, q_losses = step(params, datas, targets, q_data,
-                                       q_target, lr, sub)
-        if (it + 1) % max(1, args.log_interval) == 0:
-            if target_valid is not None:
-                val_loss = evaluate_lm(model, params, target_valid, args.bptt)
-            else:
-                val_loss = float(total)
-            log_print("| it {:5d} | lr {:02.2f} | meta loss {:5.2f} | valid "
-                      "loss {:5.2f} | valid ppl {:8.2f}".format(
-                          it + 1, lr, float(total), val_loss,
-                          math.exp(min(val_loss, 30))))
-            if best_val is None or val_loss < best_val:
-                best_val, counter, best_params = val_loss, 0, params
-            else:
-                lr /= 4.0  # anneal on plateau (lm/main_meta_transfer.py:398-408)
-                counter += 1
-            if counter == 5:
-                break
+                                       q_target, val.lr, sub)
+        if val.after_step(it, params, float(total), tag="meta loss"):
+            break
     save_path = os.path.join(
         args.save, "meta_" + _log_name(
             args, f"_meta_lr_factor{args.meta_lr_factor}_ratio{args.ratio}"))
-    save_lm_ckpt(save_path, best_params, dictionary, args, ntokens)
+    save_lm_ckpt(save_path, val.best_params, dictionary, args, ntokens)
+    labels = [_corpus_label(p, i)
+              for i, p in enumerate(args.train_path_list
+                                    or [args.train_path])]
+    _end_of_training_report(model, val.best_params, corpora, labels,
+                            args.bptt)
     log_print(f"SAVED {save_path}")
     return save_path
 

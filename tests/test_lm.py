@@ -269,3 +269,54 @@ def test_markov_lm_corpus_has_learnable_structure(tmp_path):
                 successors.setdefault(a, set()).add(b)
     # sparse chain: no word fans out to more than its 3 allowed successors
     assert successors and max(len(v) for v in successors.values()) <= 3
+
+
+def test_lm_joint_main_reference_cadence_and_final_report(tmp_path, capsys):
+    """main_joint must (a) validate every --valid-interval (600 in the
+    reference) decoupled from --log-interval (200), and (b) finish by
+    reporting test loss/ppl on ALL corpora with the best model
+    (lm/main_joint.py:340-415) — r3 VERDICT missing #2/#3."""
+    from mtl_tpu.cli.lm import main_joint_main
+    from mtl_tpu.data.synthetic import make_synthetic_lm_corpus
+
+    dirs = make_synthetic_lm_corpus(str(tmp_path), num_tasks=2,
+                                    sentences_per_task=20, seed=0)
+    argv = [
+        "--name", "cadence",
+        "--train-path-list", *[f"{d}/train.txt" for d in dirs],
+        "--valid-path-list", *[f"{d}/valid.txt" for d in dirs],
+        "--test-path-list", *[f"{d}/test.txt" for d in dirs],
+        "--model", "LSTM", "--emsize", "8", "--nhid", "8", "--nlayers", "1",
+        "--batch_size", "2", "--bptt", "4", "--lr", "1.0",
+        "--num-iterations", "12", "--log-interval", "2",
+        "--valid-interval", "6", "--save", str(tmp_path / "m"),
+    ]
+    main_joint_main(argv)
+    out = capsys.readouterr().out
+    assert out.count("| val loss") == 2  # its 6 and 12 ONLY (not every log)
+    assert out.count("| End of training | test loss") == 2  # both corpora
+    # per-validation target-test line (lm/main_joint.py:360)
+    assert out.count("| test loss") >= 4  # 2 per-valid + 2 final
+
+
+def test_lm_meta_main_final_report(tmp_path, capsys):
+    """main_meta_transfer ends with the all-corpora test report too."""
+    from mtl_tpu.cli.lm import main_meta_transfer_main
+    from mtl_tpu.data.synthetic import make_synthetic_lm_corpus
+
+    dirs = make_synthetic_lm_corpus(str(tmp_path), num_tasks=2,
+                                    sentences_per_task=20, seed=1)
+    argv = [
+        "--name", "metafin",
+        "--train-path-list", *[f"{d}/train.txt" for d in dirs],
+        "--valid-path-list", *[f"{d}/valid.txt" for d in dirs],
+        "--test-path-list", *[f"{d}/test.txt" for d in dirs],
+        "--model", "LSTM", "--emsize", "8", "--nhid", "8", "--nlayers", "1",
+        "--batch_size", "2", "--bptt", "4", "--lr", "1.0",
+        "--num-iterations", "6", "--log-interval", "3",
+        "--valid-interval", "3", "--save", str(tmp_path / "m"),
+    ]
+    main_meta_transfer_main(argv)
+    out = capsys.readouterr().out
+    assert out.count("| End of training | test loss") == 2
+    assert "meta loss" in out
