@@ -1,0 +1,205 @@
+#!/usr/bin/env python
+"""Project v5e-8 scaling for the flagship meta-transfer step from the
+compiled SHARDED HLO (north-star analysis — multi-chip hardware is not
+reachable from this environment, so the 8-chip number is *bounded on paper*
+from first principles instead of measured).
+
+Method
+------
+1. jit-compile the EXACT product meta step (make_meta_step, flagship config,
+   3 tasks x (8+8) utts of ~8 s) over an 8-device (task=1, data=8) mesh with
+   the trainers' shardings (params replicated, batches sharded over data) on
+   the virtual CPU platform — the SPMD partitioner and the collectives it
+   inserts are backend-independent.
+2. Parse every collective out of the compiled HLO: op kind, element type,
+   shape, replica groups -> exact bytes moved per step.
+3. Cost the collectives on v5e ICI (ring all-reduce: each chip sends+receives
+   2*(N-1)/N * B bytes) and combine with the MEASURED single-chip step time
+   (82.6 ms, BENCH_r02) into projected per-chip efficiency and utt/s for
+   weak scaling (per-chip batch held at the measured size — the production
+   regime) and strong scaling (global batch held).
+
+Run tunnel-free:
+  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python bench_scaling_projection.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+# self-sanitize BEFORE importing jax (the axon PJRT plugin hangs when the
+# tunnel is down; this analysis is backend-independent)
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+          if "host_platform_device_count" not in f]
+os.environ["XLA_FLAGS"] = " ".join(
+    _flags + ["--xla_force_host_platform_device_count=8"])
+
+import numpy as np  # noqa: E402
+
+from __graft_entry__ import host_cache_dir  # noqa: E402
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", host_cache_dir())
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+
+N_DEVICES = 8
+# Measured single-chip flagship step (BENCH_r02, re-verified r3): 82.6 ms for
+# 48 utterances (3 tasks x (8 support + 8 query), ~8 s each).
+MEASURED_STEP_MS = 82.6
+UTT_PER_STEP = 48
+
+# v5e ICI: 4 links/chip x 400 Gbps signaling = 1600 Gbps/chip aggregate
+# (public spec). One-way per-chip payload bandwidth used here:
+#   conservative 100 GB/s, optimistic 186 GB/s (marketing aggregate /2,
+#   minus protocol overhead ~7%).
+ICI_GBPS = {"conservative": 100e9, "optimistic": 186e9}
+
+_DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s64": 8, "u64": 8,
+                "s32": 4, "u32": 4, "s16": 2, "u16": 2, "s8": 1, "u8": 1,
+                "pred": 1, "c64": 8, "c128": 16}
+
+_SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
+
+
+def _shape_bytes(shape_str: str) -> int:
+    """Total bytes of an HLO shape string (handles tuples)."""
+    total = 0
+    for dtype, dims in _SHAPE_RE.findall(shape_str):
+        if dtype not in _DTYPE_BYTES:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dtype]
+    return total
+
+
+def collect_collectives(hlo_text: str):
+    """Every collective op in the compiled (post-SPMD) HLO with its payload
+    bytes. Scans line by line — compiled flagship HLO is tens of MB."""
+    out = []
+    op_re = re.compile(
+        r"^\s*(?:ROOT\s+)?%?\S+ = (\([^)]*\)|\S+) "
+        r"(all-reduce|all-gather|reduce-scatter|collective-permute|"
+        r"all-to-all)(?:-start|-done)?\(")
+    for line in hlo_text.splitlines():
+        m = op_re.match(line)
+        if not m:
+            continue
+        shape_str, kind = m.group(1), m.group(2)
+        if "-done(" in line:
+            continue  # counted at -start
+        out.append({"kind": kind, "bytes": _shape_bytes(shape_str),
+                    "shape": shape_str.strip("()")[:120]})
+    return out
+
+
+def build_compiled():
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from __graft_entry__ import _flagship_cfg
+    from bench import FRAMES, K_TASKS, K_TRAIN, K_VALID, TGT_LEN, VOCAB_SIZE
+    from bench import make_batches
+    from mtl_tpu.models.transformer import build_model
+    from mtl_tpu.train.steps import init_train_state, make_meta_step
+
+    cfg = _flagship_cfg()
+    model = build_model(cfg, VOCAB_SIZE)
+    outer_opt = optax.adam(cfg.train.meta_lr)
+    step = make_meta_step(model, cfg, outer_opt)
+
+    devices = jax.devices("cpu")[:N_DEVICES]
+    mesh = Mesh(np.asarray(devices).reshape(1, N_DEVICES, 1),
+                ("task", "data", "model"))
+
+    support, query = make_batches(cfg)
+    print(f"building flagship state (params init) ...", flush=True)
+    ex = {k: np.asarray(v[0]) for k, v in support.items()}
+    state = init_train_state(model, cfg, outer_opt, jax.random.PRNGKey(0),
+                             jax.tree.map(jnp.asarray, ex))
+    n_params = sum(int(np.prod(x.shape))
+                   for x in jax.tree.leaves(state.params))
+
+    # the trainers' placements: state replicated, support [K over task, B
+    # over data], query [B over data] (mtl_tpu/parallel/mesh.py)
+    def sds(x, spec):
+        return jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype,
+                                    sharding=NamedSharding(mesh, spec))
+
+    state_s = jax.tree.map(lambda x: sds(x, P()), state)
+    support_s = jax.tree.map(lambda x: sds(x, P("task", "data")), support)
+    query_s = jax.tree.map(lambda x: sds(x, P("data")), query)
+    rng_s = sds(np.zeros((2,), np.uint32), P())
+
+    print("lowering + SPMD-compiling the sharded flagship step ...",
+          flush=True)
+    compiled = step.lower(state_s, support_s, query_s, rng_s).compile()
+    return compiled, n_params
+
+
+def main():
+    compiled, n_params = build_compiled()
+    hlo = compiled.as_text()
+    cols = collect_collectives(hlo)
+    by_kind = {}
+    for c in cols:
+        by_kind.setdefault(c["kind"], [0, 0])
+        by_kind[c["kind"]][0] += 1
+        by_kind[c["kind"]][1] += c["bytes"]
+    total_bytes = sum(c["bytes"] for c in cols)
+    grad_bytes = n_params * 4  # f32 outer grads
+
+    n = N_DEVICES
+    ring_factor = 2 * (n - 1) / n  # bytes on the wire per chip, ring AR
+    report = {
+        "n_devices": n,
+        "params": n_params,
+        "outer_grad_bytes_expected": grad_bytes,
+        "hlo_collectives": {k: {"count": v[0], "payload_bytes": v[1]}
+                            for k, v in sorted(by_kind.items())},
+        "hlo_total_payload_bytes": total_bytes,
+        "measured_single_chip_step_ms": MEASURED_STEP_MS,
+        "projection": {},
+    }
+    for name, bw in ICI_GBPS.items():
+        ar_ms = ring_factor * total_bytes / bw * 1e3
+        weak_step = MEASURED_STEP_MS + ar_ms  # no compute/comm overlap
+        weak_eff = MEASURED_STEP_MS / weak_step
+        strong_step = MEASURED_STEP_MS / n + ar_ms
+        report["projection"][name] = {
+            "ici_oneway_bytes_per_s": bw,
+            "allreduce_ms": round(ar_ms, 2),
+            "weak_scaling": {
+                "step_ms": round(weak_step, 2),
+                "efficiency": round(weak_eff, 4),
+                "utt_per_s_total": round(
+                    n * UTT_PER_STEP / weak_step * 1e3, 1),
+                "utt_per_s_per_chip": round(
+                    UTT_PER_STEP / weak_step * 1e3, 1),
+            },
+            "strong_scaling": {
+                "step_ms": round(strong_step, 2),
+                "speedup_vs_1chip": round(MEASURED_STEP_MS / strong_step, 2),
+            },
+        }
+    print(json.dumps(report, indent=1))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "scaling_projection.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    # top collectives for the BASELINE.md table
+    cols.sort(key=lambda c: -c["bytes"])
+    for c in cols[:10]:
+        print(f"  {c['kind']:>20} {c['bytes']/1e6:10.2f} MB  {c['shape']}")
+
+
+if __name__ == "__main__":
+    main()

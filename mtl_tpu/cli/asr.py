@@ -197,13 +197,16 @@ def test_main(argv=None):
             hyps, golds = hyps[:num_valid], golds[:num_valid]
             for ind, (hyp, gold) in enumerate(zip(hyps, golds)):
                 hyp = post_process(hyp, vocab.special_token_list)
-                cer = calculate_cer(hyp.replace(" ", ""), gold.replace(" ", ""))
+                # reference-exact scoring (test.py:138-158): CER over the
+                # STRIPPED strings (interior spaces count as characters),
+                # total chars include spaces, words split on single spaces
+                cer = calculate_cer(hyp.strip(), gold.strip())
                 wer = calculate_wer(hyp, gold)
                 en_d, zh_d, en_n, zh_n = calculate_cer_en_zh(hyp, gold)
                 total_cer += cer
                 total_wer += wer
-                total_char += len(gold.replace(" ", ""))
-                total_word += len(gold.split())
+                total_char += len(gold)
+                total_word += len(gold.split(" "))
                 total_en_cer += en_d
                 total_zh_cer += zh_d
                 total_en_char += en_n

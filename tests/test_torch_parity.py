@@ -490,3 +490,125 @@ def test_ctc_loss_parity(ref):
     loss = ctc_loss(jnp.asarray(logits), jnp.asarray(in_lens),
                     jnp.asarray(targets), jnp.asarray(tgt_lens))
     np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+
+
+def test_e2e_test_main_report_parity(ref, tmp_path):
+    """The full test.py surface end-to-end: our test_main CLI and the
+    reference test.py evaluate loop (test.py:112-171) score the SAME
+    transplanted weights on the SAME synthetic test manifest and must report
+    EQUAL total CER / WER / EN CER / ZH CER — r3 VERDICT stretch #9.
+
+    The reference data pipeline needs torchaudio/librosa (absent here), so
+    its evaluate loop consumes the identical feature batches our CLI builds
+    (front-end parity vs recorded librosa oracles is tested separately in
+    tests/test_frontend.py)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mtl_tpu.cli.asr import test_main
+    from mtl_tpu.config import Config
+    from mtl_tpu.data.dataset import SpectrogramDataset
+    from mtl_tpu.data.synthetic import make_synthetic_corpus
+    from mtl_tpu.data.vocab import SOS_ID, Vocab, post_process
+    from mtl_tpu.models.transformer import build_model
+    from mtl_tpu.parity.torch_ref import build_ref_model
+    from mtl_tpu.train.steps import init_train_state, prepare_features
+    from mtl_tpu.utils.checkpoint import save_checkpoint
+    from mtl_tpu.utils.metrics import (
+        calculate_cer,
+        calculate_cer_en_zh,
+        calculate_wer,
+    )
+
+    manifests, labels = make_synthetic_corpus(
+        str(tmp_path / "corpus"), num_tasks=1, utts_per_task=5, max_sec=0.4,
+        max_chars=6, seed=21,
+    )
+    cfg = Config()
+    cfg.name = "parity_e2e"
+    cfg.save_folder = str(tmp_path / "models")
+    cfg.data.train_manifest_list = manifests
+    cfg.data.test_manifest_list = manifests
+    cfg.data.labels_path = labels
+    cfg.data.src_bucket_frames = (64,)
+    cfg.data.tgt_bucket_len = (16,)
+    cfg.model.num_enc_layers = 1
+    cfg.model.num_dec_layers = 1
+    cfg.model.num_heads = 2
+    cfg.model.dim_model = 16
+    cfg.model.dim_key = 8
+    cfg.model.dim_value = 8
+    cfg.model.dim_inner = 16
+    cfg.model.dim_emb = 16
+    cfg.model.dropout = 0.0
+    cfg.model.r = 4
+    cfg.model.dtype = "float32"
+    cfg.model.src_max_len = 64
+    cfg.model.tgt_max_len = 320  # > the 300-step reference greedy loop
+    cfg.train.k_valid = 2
+    cfg.finalize()
+
+    vocab = Vocab.from_json(labels)
+    ds = SpectrogramDataset(vocab, cfg, manifests, normalize=True)
+    model = build_model(cfg, len(vocab))
+    opt = optax.adam(1e-3)
+    ex = next(ds.iter_batches(2))
+    state = init_train_state(model, cfg, opt, jax.random.PRNGKey(5),
+                             jax.tree.map(jnp.asarray, ex))
+    path = save_checkpoint(cfg, vocab, state, 1)
+
+    ours = test_main([
+        "--test-manifest-list", manifests[0],
+        "--labels-path", labels,
+        "--continue-from", path,
+        "--name", "parity_e2e_eval",
+        # identical bucketing to the dataset below (test_main's data config
+        # comes from the CLI, not the checkpoint)
+        "--src-buckets", "64", "--tgt-buckets", "16",
+    ])
+
+    # ---- reference evaluate loop on the SAME batches/weights -------------
+    rv = ref.Vocab()
+    for lab in vocab.id2label[4:]:
+        rv.add_label(lab)
+    torch_model = build_ref_model(ref, rv, cfg, state.params,
+                                  f_prime=cfg.audio.num_freq // 4,
+                                  channels=128)
+    torch_model.eval()
+    ns = types.SimpleNamespace(cuda=False, beam_search=False, beam_width=0,
+                               beam_nbest=1, c_weight=1.0, lm_rescoring=False,
+                               lm_weight=0.0, verbose=False)
+    total_cer = total_wer = total_char = total_word = 0
+    total_en = total_zh = total_en_c = total_zh_c = 0
+    for batch, num_valid in ds.iter_batches(cfg.train.k_valid, shuffle=False,
+                                            with_valid_count=True):
+        feats, lengths = prepare_features(jax.tree.map(jnp.asarray, batch),
+                                          cfg)
+        x = torch.from_numpy(np.asarray(feats)).permute(0, 2, 1)[:, None]
+        with torch.no_grad():
+            _, strs_hyps, strs_gold = torch_model.evaluate(
+                x, torch.from_numpy(np.asarray(lengths, np.int64)),
+                torch.from_numpy(np.asarray(batch["targets"], np.int64)),
+                ns, start_token=SOS_ID)
+        for hyp, gold in zip(strs_hyps[:num_valid], strs_gold[:num_valid]):
+            hyp = post_process(hyp, vocab.special_token_list)
+            gold = post_process(gold, vocab.special_token_list)
+            total_cer += calculate_cer(hyp.strip(), gold.strip())
+            total_wer += calculate_wer(hyp, gold)
+            en_d, zh_d, en_n, zh_n = calculate_cer_en_zh(hyp, gold)
+            total_en += en_d
+            total_zh += zh_d
+            total_en_c += en_n
+            total_zh_c += zh_n
+            total_char += len(gold)
+            total_word += len(gold.split(" "))
+
+    theirs = {
+        "cer": total_cer * 100.0 / max(total_char, 1),
+        "wer": total_wer * 100.0 / max(total_word, 1),
+        "en_cer": total_en * 100.0 / max(total_en_c, 1),
+        "zh_cer": total_zh * 100.0 / max(total_zh_c, 1),
+    }
+    for k in theirs:
+        assert abs(ours[k] - theirs[k]) < 1e-9, (k, ours, theirs)
