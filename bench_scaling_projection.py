@@ -30,9 +30,14 @@ import os
 import re
 import sys
 
-# self-sanitize BEFORE importing jax (the axon PJRT plugin hangs when the
-# tunnel is down; this analysis is backend-independent)
-os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+# Self-sanitize by RE-EXEC: sitecustomize registers the axon PJRT plugin at
+# interpreter startup (before this script runs), so popping the env var here
+# is too late — a fresh child process with the var absent is the only way to
+# keep a hung tunnel out of this backend-independent analysis.
+if os.environ.get("PALLAS_AXON_POOL_IPS"):
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS")
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
           if "host_platform_device_count" not in f]
@@ -100,7 +105,7 @@ def collect_collectives(hlo_text: str):
     return out
 
 
-def build_compiled():
+def build_compiled(scan_tasks: bool):
     import jax
     import jax.numpy as jnp
     import optax
@@ -115,7 +120,7 @@ def build_compiled():
     cfg = _flagship_cfg()
     model = build_model(cfg, VOCAB_SIZE)
     outer_opt = optax.adam(cfg.train.meta_lr)
-    step = make_meta_step(model, cfg, outer_opt)
+    step = make_meta_step(model, cfg, outer_opt, scan_tasks=scan_tasks)
 
     devices = jax.devices("cpu")[:N_DEVICES]
     mesh = Mesh(np.asarray(devices).reshape(1, N_DEVICES, 1),
@@ -140,14 +145,22 @@ def build_compiled():
     query_s = jax.tree.map(lambda x: sds(x, P("data")), query)
     rng_s = sds(np.zeros((2,), np.uint32), P())
 
-    print("lowering + SPMD-compiling the sharded flagship step ...",
-          flush=True)
+    print(f"lowering + SPMD-compiling the sharded flagship step "
+          f"(scan_tasks={scan_tasks}) ...", flush=True)
     compiled = step.lower(state_s, support_s, query_s, rng_s).compile()
     return compiled, n_params
 
 
-def main():
-    compiled, n_params = build_compiled()
+# per-chip bytes-on-the-wire factor for each collective kind (ring algos):
+# all-reduce moves 2(N-1)/N * payload, gather/scatter variants (N-1)/N.
+def _wire_factor(kind: str, n: int) -> float:
+    if kind == "all-reduce":
+        return 2 * (n - 1) / n
+    return (n - 1) / n
+
+
+def analyze(scan_tasks: bool):
+    compiled, n_params = build_compiled(scan_tasks)
     hlo = compiled.as_text()
     cols = collect_collectives(hlo)
     by_kind = {}
@@ -155,29 +168,27 @@ def main():
         by_kind.setdefault(c["kind"], [0, 0])
         by_kind[c["kind"]][0] += 1
         by_kind[c["kind"]][1] += c["bytes"]
-    total_bytes = sum(c["bytes"] for c in cols)
-    grad_bytes = n_params * 4  # f32 outer grads
-
     n = N_DEVICES
-    ring_factor = 2 * (n - 1) / n  # bytes on the wire per chip, ring AR
-    report = {
-        "n_devices": n,
-        "params": n_params,
-        "outer_grad_bytes_expected": grad_bytes,
+    wire_bytes = sum(_wire_factor(c["kind"], n) * c["bytes"] for c in cols)
+    variant = {
         "hlo_collectives": {k: {"count": v[0], "payload_bytes": v[1]}
                             for k, v in sorted(by_kind.items())},
-        "hlo_total_payload_bytes": total_bytes,
-        "measured_single_chip_step_ms": MEASURED_STEP_MS,
+        "hlo_total_payload_bytes": sum(c["bytes"] for c in cols),
+        "wire_bytes_per_chip": int(wire_bytes),
         "projection": {},
+        "top_collectives": [
+            f"{c['kind']} {c['bytes'] / 1e6:.2f} MB {c['shape']}"
+            for c in sorted(cols, key=lambda c: -c["bytes"])[:6]
+        ],
     }
     for name, bw in ICI_GBPS.items():
-        ar_ms = ring_factor * total_bytes / bw * 1e3
-        weak_step = MEASURED_STEP_MS + ar_ms  # no compute/comm overlap
+        comm_ms = wire_bytes / bw * 1e3
+        weak_step = MEASURED_STEP_MS + comm_ms  # no compute/comm overlap
         weak_eff = MEASURED_STEP_MS / weak_step
-        strong_step = MEASURED_STEP_MS / n + ar_ms
-        report["projection"][name] = {
+        strong_step = MEASURED_STEP_MS / n + comm_ms
+        variant["projection"][name] = {
             "ici_oneway_bytes_per_s": bw,
-            "allreduce_ms": round(ar_ms, 2),
+            "comm_ms": round(comm_ms, 2),
             "weak_scaling": {
                 "step_ms": round(weak_step, 2),
                 "efficiency": round(weak_eff, 4),
@@ -191,14 +202,25 @@ def main():
                 "speedup_vs_1chip": round(MEASURED_STEP_MS / strong_step, 2),
             },
         }
+    return variant, n_params
+
+
+def main():
+    report = {
+        "n_devices": N_DEVICES,
+        "measured_single_chip_step_ms": MEASURED_STEP_MS,
+        "variants": {},
+    }
+    for scan in (False, True):
+        key = "scan_tasks" if scan else "vmap_tasks"
+        variant, n_params = analyze(scan)
+        report["params"] = n_params
+        report["outer_grad_bytes_expected"] = n_params * 4  # f32
+        report["variants"][key] = variant
     print(json.dumps(report, indent=1))
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "scaling_projection.json"), "w") as f:
         json.dump(report, f, indent=1)
-    # top collectives for the BASELINE.md table
-    cols.sort(key=lambda c: -c["bytes"])
-    for c in cols[:10]:
-        print(f"  {c['kind']:>20} {c['bytes']/1e6:10.2f} MB  {c['shape']}")
 
 
 if __name__ == "__main__":

@@ -166,11 +166,23 @@ def test_main(argv=None):
             )
             nbest_lists = None
             if cfg.decode.beam_search:
+                from ..models.subsampler import subsampled_length
+
+                # reference horizon: the beam loops --tgt-max-len (from the
+                # TEST CLI, not the checkpoint — test.py:65) iterations but
+                # force-retires every survivor with EOS at the ENCODER
+                # length (modules/decoder.py:215,253-255), so the effective
+                # horizon is min(tgt_max_len, enc_len); --max-steps stays
+                # the fixed-size-bank memory cap
+                enc_len = int(subsampled_length(
+                    saved_cfg.model.feat_extractor,
+                    np.asarray(feats.shape[1])))
+                horizon = min(cfg.model.tgt_max_len, max(enc_len, 1))
                 grouped = beam_search_grouped(
                     model, params, feats, lengths, vocab,
                     beam_width=cfg.decode.beam_width,
                     nbest=nbest,
-                    max_steps=cfg.decode.max_steps,
+                    max_steps=min(cfg.decode.max_steps, horizon),
                     start_token=vocab.SOS_ID,
                     c_weight=cfg.decode.c_weight,
                     lm=lm, lm_rescoring=cfg.decode.lm_rescoring,

@@ -135,6 +135,12 @@ class TrainConfig:
     lr_disc: float = 1e-4
     # TPU-native knobs
     second_order: bool = False  # grad through inner SGD (true MAML)
+    # task loop as lax.scan instead of vmap in the first-order meta step.
+    # None = auto: scan on a data-sharded mesh (vmapped per-task conv
+    # kernels force feature-group lowering whose reshapes break SPMD
+    # propagation -> multi-GB activation all-gathers; steps.py), vmap
+    # single-device (marginally better fusion).
+    scan_tasks: Optional[bool] = None
     train_cer_every: int = 1  # compute train CER every N iterations (host sync)
     profile_dir: str = ""  # jax.profiler trace output (captures iters 3..8)
     device_cer: bool = False  # compute train CER on device (two scalars to
@@ -353,6 +359,13 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--encoder-type", default="transformer", type=str,
                    help="transformer (reference parity) | conformer (stretch)")
     p.add_argument("--second-order", action="store_true")
+    p.add_argument("--scan-tasks", dest="scan_tasks", default=None,
+                   action="store_true",
+                   help="first-order meta step loops tasks via lax.scan "
+                        "(default: auto — scan on a data-sharded mesh, "
+                        "vmap single-device)")
+    p.add_argument("--no-scan-tasks", dest="scan_tasks",
+                   action="store_false")
     p.add_argument("--seed", default=123456, type=int)
     p.add_argument("--mesh-data", default=1, type=int)
     p.add_argument("--mesh-task", default=1, type=int)
@@ -439,6 +452,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             beta_decay=args.beta_decay,
             lr_disc=args.lr_disc,
             second_order=args.second_order,
+            scan_tasks=args.scan_tasks,
             profile_dir=args.profile_dir,
             device_cer=args.device_cer,
             train_cer_every=args.train_cer_every,

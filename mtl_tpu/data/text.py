@@ -4,9 +4,13 @@ Parity: utils/data.py:199-404 — emoji removal, abbreviation merging,
 punctuation / special-character removal with the reference's typo fixes,
 and ``preprocess_mixed_language_sentence`` (bracket/hesitation stripping,
 per-language segment cleanup, non-ASCII removal from EN segments). The
-StanfordCoreNLP-tokenizing variant (utils/data.py:129-197) is gated behind an
-optional tokenizer callable since that Java dependency isn't available here;
-the non-tokenizing path is the one the released pipeline uses.
+StanfordCoreNLP-tokenizing variant (utils/data.py:129-197) is implemented as
+``get_word_segments_per_language_with_tokenization`` — the reference's
+language-run state machine exactly (pinned against it in
+tests/test_torch_parity.py), with the CoreNLP ``word_tokenize`` calls
+replaced by injectable callables defaulting to self-contained offline
+tokenizers (PTB-style English splitting, forward-maximum-matching Chinese
+segmentation) since the Java dependency isn't available here.
 
 SEAME wav segmentation (utils/data.py:412-439, a sox subprocess pipeline) is
 re-expressed in segment_wav_corpus() with numpy slicing instead of sox.
@@ -105,8 +109,112 @@ def remove_punctuation(seq: str) -> str:
     return remove_space_in_between_words(seq)
 
 
+def en_tokenize_basic(text: str) -> List[str]:
+    """Offline stand-in for CoreNLP's English ``word_tokenize``: PTB-style
+    splitting — punctuation separated, "n't" and clitic contractions
+    ('s 're 'll 've 'd 'm) split off. Injectable wherever the reference
+    passes ``en_nlp`` (utils/data.py:152-155)."""
+    text = re.sub(r"([^\w\s'])", r" \1 ", text)
+    text = re.sub(r"(?i)(\w)(n't)\b", r"\1 \2", text)
+    text = re.sub(r"(?i)('(?:s|re|ll|ve|d|m))\b", r" \1", text)
+    return text.split()
+
+
+def zh_tokenize_fmm(
+    text: str, lexicon=None, max_word_len: int = 4
+) -> List[str]:
+    """Offline stand-in for CoreNLP's Chinese segmenter: forward maximum
+    matching against an optional word ``lexicon`` (a set of multi-char
+    words); without one, per-character segmentation — which is also what
+    the downstream character-level ASR/LM vocab consumes. Injectable
+    wherever the reference passes ``zh_nlp`` (utils/data.py:170-173)."""
+    if not lexicon:
+        return [c for c in text if not c.isspace()]
+    out: List[str] = []
+    i = 0
+    while i < len(text):
+        if text[i].isspace():
+            i += 1
+            continue
+        for length in range(min(max_word_len, len(text) - i), 1, -1):
+            if text[i:i + length] in lexicon:
+                out.append(text[i:i + length])
+                i += length
+                break
+        else:
+            out.append(text[i])
+            i += 1
+    return out
+
+
+def get_word_segments_per_language_with_tokenization(
+    seq: str,
+    tokenize_lang: int = -1,
+    en_tokenize=None,
+    zh_tokenize=None,
+) -> List[str]:
+    """utils/data.py:129-197 parity: split ``seq`` into same-language word
+    runs, tokenizing the runs of the selected language (-1 none, 0 English,
+    1 Chinese). The run state machine is the reference's exactly, including
+    its quirks: a mid-sequence Chinese run is tokenized with spaces removed
+    first, the FINAL Chinese run is tokenized as-is (reference line 185 vs
+    172), and the final run is tokenized only when its language matches
+    ``cur_lang``. ``en_tokenize``/``zh_tokenize`` replace the CoreNLP
+    ``word_tokenize`` bound methods; they default to the offline
+    tokenizers above."""
+    en_tokenize = en_tokenize or en_tokenize_basic
+    zh_tokenize = zh_tokenize or zh_tokenize_fmm
+    cur_lang = -1
+    words = seq.split(" ")
+    temp_words = ""
+    word_segments: List[str] = []
+
+    for word in words:
+        if is_contain_chinese_word(word):
+            if cur_lang == -1:
+                cur_lang = 1
+                temp_words = word
+            elif cur_lang == 0:  # flush an English run
+                cur_lang = 1
+                if tokenize_lang == 0:
+                    temp_words = " ".join(en_tokenize(temp_words))
+                word_segments.append(temp_words)
+                temp_words = word
+            else:
+                if temp_words != "":
+                    temp_words += " "
+                temp_words += word
+        else:
+            if cur_lang == -1:
+                cur_lang = 0
+                temp_words = word
+            elif cur_lang == 1:  # flush a Chinese run
+                cur_lang = 0
+                if tokenize_lang == 1:
+                    temp_words = " ".join(
+                        zh_tokenize(temp_words.replace(" ", "")))
+                word_segments.append(temp_words)
+                temp_words = word
+            else:
+                if temp_words != "":
+                    temp_words += " "
+                temp_words += word
+
+    if tokenize_lang == 0 and cur_lang == 0:
+        temp_words = " ".join(en_tokenize(temp_words))
+    elif tokenize_lang == 1 and cur_lang == 1:
+        temp_words = " ".join(zh_tokenize(temp_words))
+    word_segments.append(temp_words)
+    return word_segments
+
+
 def preprocess_mixed_language_sentence(
-    seq: str, tokenize: bool = False, tokenizer=None
+    seq: str,
+    tokenize: bool = False,
+    tokenizer=None,
+    tokenize_lang: int = -1,
+    en_tokenize=None,
+    zh_tokenize=None,
 ) -> str:
     """utils/data.py:342-404 parity; returns "" for sentences that reduce to
     <=1 characters."""
@@ -130,7 +238,12 @@ def preprocess_mixed_language_sentence(
     seq = remove_punctuation(seq)
 
     if tokenize and tokenizer is not None:
+        # legacy hook: a whole-sentence callable
         segments = tokenizer(seq)
+    elif tokenize:
+        segments = get_word_segments_per_language_with_tokenization(
+            seq, tokenize_lang=tokenize_lang,
+            en_tokenize=en_tokenize, zh_tokenize=zh_tokenize)
     else:
         segments = get_word_segments_per_language(seq)
     temp_words = ""

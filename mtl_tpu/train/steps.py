@@ -236,6 +236,7 @@ def make_meta_step(
     per_task_query: bool = False,
     space_id: Optional[int] = None,
     donate: bool = False,
+    scan_tasks: bool = False,
 ) -> Callable:
     """One jitted meta iteration.
 
@@ -243,6 +244,11 @@ def make_meta_step(
     ``query``: single batch (meta-transfer: the code-switched target task,
     transient_trainer.py:168) or, when ``per_task_query``, a pytree with
     leading task axis K (MAML, meta_trainer.py:244).
+
+    ``scan_tasks``: run the first-order task loop under ``lax.scan`` instead
+    of ``vmap``. Identical math (exactness pinned by test); on a
+    data-sharded mesh it is the difference between ICI-bound and
+    compute-bound — see ``outer_grads_fo_scan``.
     """
     forward = make_forward_fn(model, cfg)
     inner_lr = cfg.train.lr
@@ -314,12 +320,45 @@ def make_meta_step(
         grads = jax.tree.map(lambda t: jnp.mean(t, axis=0), gq)
         return (jnp.mean(losses), (s_losses, s_aux, q_aux)), grads
 
+    def outer_grads_fo_scan(params, support, query, dropout_rng):
+        """outer_grads_fo's math with the task loop under ``lax.scan``.
+
+        Why it exists: under ``vmap`` the query forward runs at PER-TASK
+        adapted kernels, so XLA batches its convs as feature groups; the
+        reshapes that lowering inserts defeat SPMD sharding propagation
+        ("involuntary full rematerialization", XLA issue b/433785288), and a
+        data-sharded mesh gets multi-GB conv-activation all-gathers per step
+        (measured by bench_scaling_projection.py: 6.7 GB/step at flagship
+        shapes). ``scan`` keeps every conv's kernel unmapped, leaving only
+        the algorithmic gradient all-reduces on the wire; single-chip FLOPs
+        are identical."""
+        k = jax.tree.leaves(support)[0].shape[0]
+        rngs = jax.random.split(dropout_rng, k)
+        zero = jax.tree.map(jnp.zeros_like, params)
+
+        def body(gsum, xs):
+            if per_task_query:
+                sup, q, rng = xs
+            else:
+                (sup, rng), q = xs, query
+            q_loss, gq, aux = task_outer_grad_fo(params, sup, q, rng)
+            return jax.tree.map(jnp.add, gsum, gq), (q_loss, aux)
+
+        xs = (support, query, rngs) if per_task_query else (support, rngs)
+        gsum, (losses, (s_losses, s_aux, q_aux)) = jax.lax.scan(
+            body, zero, xs)
+        grads = jax.tree.map(lambda t: t / k, gsum)
+        return (jnp.mean(losses), (s_losses, s_aux, q_aux)), grads
+
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(state: TrainState, support, query, dropout_rng):
         if second_order:
             (loss, (s_losses, s_aux, q_aux)), grads = jax.value_and_grad(
                 outer_loss, has_aux=True
             )(state.params, support, query, dropout_rng)
+        elif scan_tasks:
+            (loss, (s_losses, s_aux, q_aux)), grads = outer_grads_fo_scan(
+                state.params, support, query, dropout_rng)
         else:
             (loss, (s_losses, s_aux, q_aux)), grads = outer_grads_fo(
                 state.params, support, query, dropout_rng)

@@ -257,10 +257,27 @@ class TransientTrainer(TrainerBase):
                                           outer_opt,
                                           per_task_query=self.per_task_query)
         else:
+            scan_tasks = cfg.train.scan_tasks
+            if scan_tasks and self.mesh is not None \
+                    and self.mesh.shape["task"] > 1:
+                raise ValueError(
+                    "--scan-tasks serializes the task axis; it cannot be "
+                    "combined with --mesh-task > 1 (tasks are sharded there)")
+            if scan_tasks is None:
+                # auto: on a DATA-only sharded mesh the vmapped task loop is
+                # ICI-bound (activation all-gathers — steps.py:
+                # outer_grads_fo_scan). A task-sharded mesh needs vmap (scan
+                # would serialize the sharded axis); single-device keeps
+                # vmap (marginally better fusion).
+                scan_tasks = (self.mesh is not None
+                              and self.mesh.shape["task"] == 1
+                              and self.mesh.shape["data"] > 1)
             step_fn = make_meta_step(self.model, cfg, outer_opt,
                                      per_task_query=self.per_task_query,
                                      space_id=self.vocab.label2id.get(" "),
-                                     donate=True)
+                                     donate=True,
+                                     scan_tasks=bool(scan_tasks)
+                                     and not cfg.train.second_order)
 
         fetch = lambda: train_dataset.sample_meta_batch(
             cfg.train.k_train, cfg.train.k_valid,

@@ -270,3 +270,44 @@ def test_train_step_per_extractor(extractor):
     ev = make_eval_step(model, cfg)
     loss, _ = ev(st.params, batch)
     assert np.isfinite(float(loss))
+
+
+@pytest.mark.parametrize("per_task_query", [False, True])
+def test_scan_tasks_meta_step_matches_vmap(setup, per_task_query):
+    """The scan-over-tasks first-order meta step (the data-sharded-mesh
+    lowering that avoids the SPMD feature-group all-gathers) is numerically
+    the vmap step: same new params, same losses."""
+    cfg, model, _, _, state = setup
+    cfg = tiny_cfg(lr=0.01, meta_lr=1e-3, second_order=False, clip=True)
+    # sgd(1.0): params_old - params_new == the clipped outer grads, so the
+    # comparison is on GRADIENTS directly (adam's first step from zero-init
+    # biases is m/sqrt(v) ~= sign(g) — it amplifies 1e-9 reduction-order
+    # noise in near-cancelled gradient elements into full +-lr flips)
+    opt = optax.sgd(1.0)
+    sup0 = feature_batch(jax.random.PRNGKey(40))
+    sup1 = feature_batch(jax.random.PRNGKey(41))
+    support = jax.tree.map(lambda a, b: jnp.stack([a, b]), sup0, sup1)
+    query = (support if per_task_query
+             else feature_batch(jax.random.PRNGKey(42)))
+    st = TrainState(step=jnp.zeros((), jnp.int32), params=state.params,
+                    opt_state=opt.init(state.params))
+
+    sv = make_meta_step(model, cfg, opt, per_task_query=per_task_query,
+                        scan_tasks=False)(st, support, query,
+                                          jax.random.PRNGKey(43))
+    sc = make_meta_step(model, cfg, opt, per_task_query=per_task_query,
+                        scan_tasks=True)(st, support, query,
+                                         jax.random.PRNGKey(43))
+    np.testing.assert_allclose(float(sv[1]["outer_loss"]),
+                               float(sc[1]["outer_loss"]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(sv[1]["support_losses"]),
+                               np.asarray(sc[1]["support_losses"]),
+                               rtol=1e-6)
+    assert np.array_equal(np.asarray(sv[1]["query_hyp"]),
+                          np.asarray(sc[1]["query_hyp"]))
+    for old, a, b in zip(jax.tree.leaves(st.params),
+                         jax.tree.leaves(sv[0].params),
+                         jax.tree.leaves(sc[0].params)):
+        ga = np.asarray(old) - np.asarray(a)  # vmap outer grads
+        gb = np.asarray(old) - np.asarray(b)  # scan outer grads
+        np.testing.assert_allclose(ga, gb, atol=1e-6, rtol=1e-4)

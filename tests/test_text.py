@@ -3,11 +3,14 @@
 import numpy as np
 
 from mtl_tpu.data.text import (
+    en_tokenize_basic,
+    get_word_segments_per_language_with_tokenization,
     merge_abbreviation,
     preprocess_mixed_language_sentence,
     remove_emojis,
     remove_punctuation,
     remove_special_char,
+    zh_tokenize_fmm,
 )
 
 
@@ -34,6 +37,42 @@ def test_preprocess_mixed_language_sentence():
     # degenerate sentences reduce to ""
     assert preprocess_mixed_language_sentence("(") == ""
     assert preprocess_mixed_language_sentence("") == ""
+
+
+def test_en_tokenize_basic():
+    assert en_tokenize_basic("don't stop") == ["do", "n't", "stop"]
+    assert en_tokenize_basic("it's john's, right?") == \
+        ["it", "'s", "john", "'s", ",", "right", "?"]
+
+
+def test_zh_tokenize_fmm():
+    # no lexicon: per-character (what the char-level vocab consumes)
+    assert zh_tokenize_fmm("你好 世界") == ["你", "好", "世", "界"]
+    # with a lexicon: forward maximum matching, longest wins
+    lex = {"你好", "世界", "你好世"}
+    assert zh_tokenize_fmm("你好世界", lexicon=lex) == ["你好世", "界"]
+    assert zh_tokenize_fmm("你好 世界", lexicon=lex) == ["你好", "世界"]
+
+
+def test_word_segments_with_tokenization():
+    seq = "we don't know 你好 世界 okay 再见"
+    # tokenize_lang=-1: pure run segmentation, no tokenizer runs
+    segs = get_word_segments_per_language_with_tokenization(seq)
+    assert segs == ["we don't know", "你好 世界", "okay", "再见"]
+    # tokenize_lang=0: English runs PTB-split
+    segs = get_word_segments_per_language_with_tokenization(
+        seq, tokenize_lang=0)
+    assert segs == ["we do n't know", "你好 世界", "okay", "再见"]
+    # tokenize_lang=1: mid-sequence ZH runs get spaces stripped then
+    # segmented; the FINAL ZH run is tokenized as-is (reference quirk,
+    # utils/data.py:185 vs :172)
+    segs = get_word_segments_per_language_with_tokenization(
+        seq, tokenize_lang=1)
+    assert segs == ["we don't know", "你 好 世 界", "okay", "再 见"]
+    # the preprocess entry point routes through it
+    out = preprocess_mixed_language_sentence(
+        "hello 你好世界 friend", tokenize=True, tokenize_lang=1)
+    assert out == "hello 你 好 世 界 friend"
 
 
 def test_segment_wav_corpus(tmp_path):

@@ -492,11 +492,15 @@ def test_ctc_loss_parity(ref):
     np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
 
 
-def test_e2e_test_main_report_parity(ref, tmp_path):
+@pytest.mark.parametrize("beam", [False, True])
+def test_e2e_test_main_report_parity(ref, tmp_path, beam):
     """The full test.py surface end-to-end: our test_main CLI and the
     reference test.py evaluate loop (test.py:112-171) score the SAME
     transplanted weights on the SAME synthetic test manifest and must report
     EQUAL total CER / WER / EN CER / ZH CER — r3 VERDICT stretch #9.
+    ``beam`` exercises the beam-search branch (reference horizon =
+    min(tgt_max_len, encoder length) via the forced-EOS retirement at
+    modules/decoder.py:215,253-255).
 
     The reference data pipeline needs torchaudio/librosa (absent here), so
     its evaluate loop consumes the identical feature batches our CLI builds
@@ -566,7 +570,8 @@ def test_e2e_test_main_report_parity(ref, tmp_path):
         # identical bucketing to the dataset below (test_main's data config
         # comes from the CLI, not the checkpoint)
         "--src-buckets", "64", "--tgt-buckets", "16",
-    ])
+    ] + (["--beam-search", "--beam-width", "2", "--beam-nbest", "1",
+          "--c-weight", "0.1"] if beam else []))
 
     # ---- reference evaluate loop on the SAME batches/weights -------------
     rv = ref.Vocab()
@@ -576,8 +581,14 @@ def test_e2e_test_main_report_parity(ref, tmp_path):
                                   f_prime=cfg.audio.num_freq // 4,
                                   channels=128)
     torch_model.eval()
-    ns = types.SimpleNamespace(cuda=False, beam_search=False, beam_width=0,
-                               beam_nbest=1, c_weight=1.0, lm_rescoring=False,
+    # tgt_max_len mirrors the reference test.py CLI default (test.py:65) —
+    # the beam loop bound; the encoder-length forced-EOS retirement
+    # (modules/decoder.py:253) is what actually ends these decodes
+    ns = types.SimpleNamespace(cuda=False, beam_search=beam,
+                               beam_width=2 if beam else 0,
+                               beam_nbest=1, c_weight=0.1,
+                               tgt_max_len=1000,
+                               lm_rescoring=False,
                                lm_weight=0.0, verbose=False)
     total_cer = total_wer = total_char = total_word = 0
     total_en = total_zh = total_en_c = total_zh_c = 0
@@ -590,7 +601,7 @@ def test_e2e_test_main_report_parity(ref, tmp_path):
             _, strs_hyps, strs_gold = torch_model.evaluate(
                 x, torch.from_numpy(np.asarray(lengths, np.int64)),
                 torch.from_numpy(np.asarray(batch["targets"], np.int64)),
-                ns, start_token=SOS_ID)
+                ns, beam_search=beam, c_weight=0.1, start_token=SOS_ID)
         for hyp, gold in zip(strs_hyps[:num_valid], strs_gold[:num_valid]):
             hyp = post_process(hyp, vocab.special_token_list)
             gold = post_process(gold, vocab.special_token_list)
@@ -612,3 +623,44 @@ def test_e2e_test_main_report_parity(ref, tmp_path):
     }
     for k in theirs:
         assert abs(ours[k] - theirs[k]) < 1e-9, (k, ours, theirs)
+
+
+@pytest.mark.parametrize("tokenize_lang", [-1, 0, 1])
+def test_word_segments_with_tokenization_parity(ref, tokenize_lang):
+    """Our get_word_segments_per_language_with_tokenization reproduces the
+    reference's run-segmentation state machine (utils/data.py:129-197) —
+    including the final-flush quirks — with identical injected tokenizers
+    standing in for the CoreNLP word_tokenize bound methods."""
+    import types as _types
+
+    import utils.data as ref_data
+
+    from mtl_tpu.data.text import (
+        get_word_segments_per_language_with_tokenization as ours_fn,
+    )
+
+    def en_tok(s):
+        return s.replace("'", " '").split()
+
+    def zh_tok(s):
+        return [c for c in s if not c.isspace()]
+
+    en_nlp = _types.SimpleNamespace(word_tokenize=en_tok)
+    zh_nlp = _types.SimpleNamespace(word_tokenize=zh_tok)
+
+    cases = [
+        "we don't know 你好 世界 okay 再见",
+        "你好 hello world 世界",
+        "all english here don't stop",
+        "你好 世界 再见",
+        "single",
+        "你",
+        "",
+        "mixed末word 你 good",
+    ]
+    for seq in cases:
+        theirs = ref_data.get_word_segments_per_language_with_tokenization(
+            seq, tokenize_lang=tokenize_lang, zh_nlp=zh_nlp, en_nlp=en_nlp)
+        mine = ours_fn(seq, tokenize_lang=tokenize_lang,
+                       en_tokenize=en_tok, zh_tokenize=zh_tok)
+        assert mine == theirs, (seq, mine, theirs)

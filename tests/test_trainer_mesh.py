@@ -187,3 +187,41 @@ def test_mesh_run_resumes_from_checkpoint(corpus, tmp_path, capsys):
     t_single, _ = _losses(single_out)
     assert len(t_mesh) == len(t_single) == 4
     np.testing.assert_allclose(t_mesh, t_single, rtol=2e-4, atol=1e-4)
+
+
+def test_meta_transfer_cli_data_only_mesh_uses_scan_tasks(corpus, tmp_path,
+                                                          capsys):
+    """A data-ONLY mesh (--mesh-data 4, task axis unsharded) auto-selects
+    the scan-over-tasks first-order step — the lowering that avoids the
+    SPMD feature-group activation all-gathers (steps.outer_grads_fo_scan) —
+    and still reproduces single-device losses through the CLI."""
+    from mtl_tpu.cli.asr import meta_transfer_train_main
+
+    cpu0 = cpu8()[0]
+    with jax.default_device(cpu0):
+        meta_transfer_train_main(_argv(corpus, tmp_path, "scan-single"))
+        single_out = capsys.readouterr().out
+        meta_transfer_train_main(
+            _argv(corpus, tmp_path, "scan-sharded",
+                  extra=("--mesh-data", "4"))
+        )
+        sharded_out = capsys.readouterr().out
+
+    assert "MESH: task=1 data=4 model=1" in sharded_out
+    t1, v1 = _losses(single_out)
+    t2, v2 = _losses(sharded_out)
+    assert len(t1) == len(t2) == 4
+    np.testing.assert_allclose(t1, t2, rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(v1, v2, rtol=2e-4, atol=1e-4)
+
+
+def test_scan_tasks_rejected_on_task_sharded_mesh(corpus, tmp_path):
+    """--scan-tasks would serialize a sharded task axis; fail fast."""
+    from mtl_tpu.cli.asr import meta_transfer_train_main
+
+    with pytest.raises(ValueError, match="scan-tasks"):
+        meta_transfer_train_main(
+            _argv(corpus, tmp_path, "scan-bad",
+                  extra=("--mesh-task", "2", "--mesh-data", "2",
+                         "--scan-tasks"))
+        )
