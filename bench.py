@@ -208,23 +208,56 @@ _PREFLIGHT_CODE = (
 )
 
 
+def _run_deadline(cmd, timeout_s, capture=False):
+    """subprocess.run with a deadline that cannot block past it.
+
+    ``subprocess.run(timeout=...)`` SIGKILLs only the direct child and then
+    calls ``communicate()`` with NO timeout — if a hung PJRT plugin left a
+    grandchild (or a daemon thread's forked helper) holding the stdout/stderr
+    pipes, that post-kill wait blocks unboundedly (observed: a 15s error path
+    stretching past 60s). Here the child gets its own process group, the
+    whole group is killed on expiry, and the post-kill drain is itself
+    bounded.
+
+    Returns (returncode|None, stdout, stderr); returncode None = deadline.
+    """
+    pipe = subprocess.PIPE if capture else None
+    proc = subprocess.Popen(cmd, env=os.environ, cwd=_HERE, stdout=pipe,
+                            stderr=pipe, text=True, start_new_session=True)
+    try:
+        out, errout = proc.communicate(timeout=timeout_s)
+        return proc.returncode, out or "", errout or ""
+    except subprocess.TimeoutExpired:
+        import signal
+
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            proc.kill()
+        try:
+            out, errout = proc.communicate(timeout=15)
+        except subprocess.TimeoutExpired:
+            out, errout = "", ""
+        return None, out or "", errout or ""
+
+
 def preflight_backend():
     """Probe the default backend with a tiny matmul in a SUBPROCESS under a
     deadline, retrying with backoff. Returns (ok, error_message)."""
     err = "unknown"
     for attempt in range(PREFLIGHT_ATTEMPTS):
-        try:
-            p = subprocess.run(
-                [sys.executable, "-c", _PREFLIGHT_CODE], env=os.environ,
-                timeout=PREFLIGHT_TIMEOUT_S, capture_output=True, text=True,
-            )
-            if p.returncode == 0:
-                return True, None
-            tail = (p.stderr or "").strip().splitlines()
-            err = tail[-1] if tail else f"preflight rc={p.returncode}"
-        except subprocess.TimeoutExpired:
+        rc, _, errout = _run_deadline(
+            [sys.executable, "-c", _PREFLIGHT_CODE], PREFLIGHT_TIMEOUT_S,
+            capture=True,
+        )
+        if rc == 0:
+            return True, None
+        if rc is None:
             err = (f"preflight matmul exceeded {PREFLIGHT_TIMEOUT_S}s "
                    f"(TPU tunnel hung)")
+        else:
+            tail = errout.strip().splitlines()
+            err = tail[-1] if tail else f"preflight rc={rc}"
         print(f"bench preflight attempt {attempt + 1}/{PREFLIGHT_ATTEMPTS} "
               f"failed: {err}", file=sys.stderr, flush=True)
         if attempt + 1 < PREFLIGHT_ATTEMPTS:
@@ -310,21 +343,19 @@ def main():
 
     # Measure in a subprocess under a deadline: the tunnel can die BETWEEN
     # preflight and measurement, and an in-process hang is uncatchable.
-    try:
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--measure"],
-            env=os.environ, cwd=_HERE, timeout=MEASURE_TIMEOUT_S,
-            stdout=subprocess.PIPE, text=True,
-        )
-    except subprocess.TimeoutExpired:
+    rc, out, errout = _run_deadline(
+        [sys.executable, os.path.abspath(__file__), "--measure"],
+        MEASURE_TIMEOUT_S, capture=True,
+    )
+    if errout:
+        sys.stderr.write(errout)
+    if rc is None:
         _emit_error(f"benchmark exceeded {MEASURE_TIMEOUT_S}s deadline "
                     f"(backend passed preflight but hung mid-measurement)")
         return
-    lines = [ln for ln in (p.stdout or "").strip().splitlines()
-             if ln.startswith("{")]
-    if p.returncode != 0 or not lines:
-        _emit_error(f"benchmark subprocess failed rc={p.returncode} "
-                    f"(stderr above)")
+    lines = [ln for ln in out.strip().splitlines() if ln.startswith("{")]
+    if rc != 0 or not lines:
+        _emit_error(f"benchmark subprocess failed rc={rc} (stderr above)")
         return
     result = lines[-1]
     try:

@@ -27,8 +27,13 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__)))), "native")
+# repo checkout layout by default; a pip-installed package (pyproject.toml)
+# can point at a checkout's native sources — pure-numpy fallbacks serve
+# otherwise
+_NATIVE_DIR = os.environ.get(
+    "MTL_TPU_NATIVE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "native"))
 _SO_PATH = os.path.join(_NATIVE_DIR, "libaudio.so")
 _SRC_PATH = os.path.join(_NATIVE_DIR, "audio_io.cpp")
 _lib: Optional[ctypes.CDLL] = None

@@ -17,7 +17,10 @@ import numpy as np
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
-_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+# same override as data/audio.py: a pip-installed package can point at a
+# checkout's native sources; the numpy fallback serves otherwise
+_NATIVE_DIR = os.environ.get("MTL_TPU_NATIVE_DIR",
+                             os.path.join(_REPO_ROOT, "native"))
 _SO_PATH = os.path.join(_NATIVE_DIR, "libedit.so")
 _SRC_PATH = os.path.join(_NATIVE_DIR, "edit_distance.cpp")
 

@@ -32,6 +32,26 @@ def test_dryrun_multichip_unhangable_with_dead_tunnel():
     assert "dryrun_multichip TP OK" in p.stdout
 
 
+def test_dryrun_deadline_is_a_clean_error_not_a_hang():
+    """A body that outlives MTL_DRYRUN_TIMEOUT_S must surface as a prompt
+    RuntimeError (process-group kill + bounded drain), never an rc=124 hang —
+    the parent's post-kill wait must not block on lingering grandchildren."""
+    env = dict(os.environ)
+    env["MTL_DRYRUN_TIMEOUT_S"] = "3"
+    p = subprocess.run(
+        [sys.executable, "-c",
+         "from __graft_entry__ import dryrun_multichip\n"
+         "try:\n"
+         "    dryrun_multichip(8)\n"
+         "except RuntimeError as e:\n"
+         "    assert 'deadline' in str(e), e\n"
+         "    print('DEADLINE_OK')\n"],
+        env=env, cwd=REPO, timeout=90, capture_output=True, text=True,
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert "DEADLINE_OK" in p.stdout
+
+
 def test_bench_emits_error_json_when_backend_dead():
     """bench.py must emit ONE parseable JSON error line (with last_measured)
     and exit 0 when the TPU backend is unreachable — never a traceback."""
