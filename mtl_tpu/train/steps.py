@@ -245,10 +245,11 @@ def make_meta_step(
     transient_trainer.py:168) or, when ``per_task_query``, a pytree with
     leading task axis K (MAML, meta_trainer.py:244).
 
-    ``scan_tasks``: run the first-order task loop under ``lax.scan`` instead
-    of ``vmap``. Identical math (exactness pinned by test); on a
-    data-sharded mesh it is the difference between ICI-bound and
-    compute-bound — see ``outer_grads_fo_scan``.
+    ``scan_tasks``: run the task loop under ``lax.scan`` instead of ``vmap``
+    — for both the first-order and the second-order (grad-through-inner)
+    step. Identical math (exactness pinned by tests); on a data-sharded mesh
+    it is the difference between ICI-bound and compute-bound — see
+    ``outer_grads_fo_scan``.
     """
     forward = make_forward_fn(model, cfg)
     inner_lr = cfg.train.lr
@@ -350,9 +351,40 @@ def make_meta_step(
         grads = jax.tree.map(lambda t: t / k, gsum)
         return (jnp.mean(losses), (s_losses, s_aux, q_aux)), grads
 
+    def outer_grads_so_scan(params, support, query, dropout_rng):
+        """Second-order outer gradients with the task loop under ``lax.scan``.
+
+        Same rationale as ``outer_grads_fo_scan`` (the vmapped query forward's
+        feature-group convs defeat SPMD sharding propagation and all-gather
+        conv activations on a data mesh); the body differentiates THROUGH the
+        inner SGD step (``task_outer_loss`` with ``second_order=True`` keeps
+        the inner grad live). By linearity, the per-task grad sum / K equals
+        ``grad(mean_k task_outer_loss_k)`` — the vmap form — exactly."""
+        k = jax.tree.leaves(support)[0].shape[0]
+        rngs = jax.random.split(dropout_rng, k)
+        zero = jax.tree.map(jnp.zeros_like, params)
+        grad_fn = jax.value_and_grad(task_outer_loss, has_aux=True)
+
+        def body(gsum, xs):
+            if per_task_query:
+                sup, q, rng = xs
+            else:
+                (sup, rng), q = xs, query
+            (q_loss, aux), gq = grad_fn(params, sup, q, rng)
+            return jax.tree.map(jnp.add, gsum, gq), (q_loss, aux)
+
+        xs = (support, query, rngs) if per_task_query else (support, rngs)
+        gsum, (losses, (s_losses, s_aux, q_aux)) = jax.lax.scan(
+            body, zero, xs)
+        grads = jax.tree.map(lambda t: t / k, gsum)
+        return (jnp.mean(losses), (s_losses, s_aux, q_aux)), grads
+
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(state: TrainState, support, query, dropout_rng):
-        if second_order:
+        if second_order and scan_tasks:
+            (loss, (s_losses, s_aux, q_aux)), grads = outer_grads_so_scan(
+                state.params, support, query, dropout_rng)
+        elif second_order:
             (loss, (s_losses, s_aux, q_aux)), grads = jax.value_and_grad(
                 outer_loss, has_aux=True
             )(state.params, support, query, dropout_rng)

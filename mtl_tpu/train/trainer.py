@@ -276,8 +276,7 @@ class TransientTrainer(TrainerBase):
                                      per_task_query=self.per_task_query,
                                      space_id=self.vocab.label2id.get(" "),
                                      donate=True,
-                                     scan_tasks=bool(scan_tasks)
-                                     and not cfg.train.second_order)
+                                     scan_tasks=bool(scan_tasks))
 
         fetch = lambda: train_dataset.sample_meta_batch(
             cfg.train.k_train, cfg.train.k_valid,

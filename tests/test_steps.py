@@ -311,3 +311,34 @@ def test_scan_tasks_meta_step_matches_vmap(setup, per_task_query):
         ga = np.asarray(old) - np.asarray(a)  # vmap outer grads
         gb = np.asarray(old) - np.asarray(b)  # scan outer grads
         np.testing.assert_allclose(ga, gb, atol=1e-6, rtol=1e-4)
+
+
+def test_scan_tasks_second_order_matches_vmap(setup):
+    """The scan-over-tasks SECOND-ORDER meta step (grad-through-inner-SGD
+    with the task loop under lax.scan — the data-sharded-mesh lowering for
+    the stretch config) computes the vmap second-order step's gradients."""
+    cfg, model, _, _, state = setup
+    cfg = tiny_cfg(lr=0.01, meta_lr=1e-3, second_order=True, clip=True)
+    opt = optax.sgd(1.0)  # params_old - params_new == clipped outer grads
+    sup0 = feature_batch(jax.random.PRNGKey(50))
+    sup1 = feature_batch(jax.random.PRNGKey(51))
+    support = jax.tree.map(lambda a, b: jnp.stack([a, b]), sup0, sup1)
+    query = feature_batch(jax.random.PRNGKey(52))
+    st = TrainState(step=jnp.zeros((), jnp.int32), params=state.params,
+                    opt_state=opt.init(state.params))
+
+    sv = make_meta_step(model, cfg, opt, scan_tasks=False)(
+        st, support, query, jax.random.PRNGKey(53))
+    sc = make_meta_step(model, cfg, opt, scan_tasks=True)(
+        st, support, query, jax.random.PRNGKey(53))
+    np.testing.assert_allclose(float(sv[1]["outer_loss"]),
+                               float(sc[1]["outer_loss"]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(sv[1]["support_losses"]),
+                               np.asarray(sc[1]["support_losses"]),
+                               rtol=1e-6)
+    for old, a, b in zip(jax.tree.leaves(st.params),
+                         jax.tree.leaves(sv[0].params),
+                         jax.tree.leaves(sc[0].params)):
+        ga = np.asarray(old) - np.asarray(a)
+        gb = np.asarray(old) - np.asarray(b)
+        np.testing.assert_allclose(ga, gb, atol=1e-6, rtol=1e-4)
