@@ -88,10 +88,23 @@ def sample_iter(ds, it):
     return datas, targets, q_data, q_target
 
 
+def sustained_hit(curve, target_ppl):
+    """First eval point CONFIRMING sustained convergence: ppl <= target on
+    >= 2 consecutive evals (returns the second of the pair). A single
+    sub-target sample does not count — the torch side's curve is
+    non-monotonic on this toy corpus (VERDICT r4 #1: 11.2@10 -> 23.5@20 ->
+    10.3@30 must not declare victory on the wiggle at 10)."""
+    for prev, cur in zip(curve, curve[1:]):
+        if prev["ppl"] <= target_ppl and cur["ppl"] <= target_ppl:
+            return cur
+    return None
+
+
 def summarize(curve, target_ppl):
-    hit = next((p for p in curve if p["ppl"] <= target_ppl), None)
+    hit = sustained_hit(curve, target_ppl)
     return {
         "curve": curve,
+        "target_criterion": "ppl <= target on 2 consecutive evals",
         "reached_target": hit is not None,
         "iters_to_target": hit["iter"] if hit else None,
         "wall_s_to_target": hit["wall_s"] if hit else None,
@@ -125,6 +138,7 @@ def run_tpu(ntokens, ds, target_valid, args):
     curve = []
     wall = 0.0
     lr, best_val = LR, None
+    consec_hits = 0
     t0 = time.perf_counter()
     for it in range(args.max_iters):
         datas, targets, q_data, q_target = sample_iter(ds, it)
@@ -141,7 +155,9 @@ def run_tpu(ntokens, ds, target_valid, args):
                           "ppl": round(ppl, 3)})
             print(f"[tpu] iter {it+1} wall {wall:.1f}s ppl {ppl:.2f} "
                   f"lr {lr:.3f}", flush=True)
-            if ppl <= args.target_ppl:
+            # sustained-convergence stop (see sustained_hit)
+            consec_hits = consec_hits + 1 if ppl <= args.target_ppl else 0
+            if consec_hits >= 2:
                 break
             # anneal on plateau (lm/main_meta_transfer.py:398-408) at the
             # reference's epoch-ish cadence — annealing on every fine-grained
@@ -215,6 +231,7 @@ def run_torch(ntokens, ds, target_valid, init_params, args):
     curve = []
     wall = 0.0
     lr, best_val = LR, None
+    consec_hits = 0
     t0 = time.perf_counter()
     for it in range(args.max_iters):
         datas, targets, q_data, q_target = sample_iter(ds, it)
@@ -245,7 +262,8 @@ def run_torch(ntokens, ds, target_valid, init_params, args):
                           "ppl": round(ppl, 3)})
             print(f"[torch] iter {it+1} wall {wall:.1f}s ppl {ppl:.2f} "
                   f"lr {lr:.3f}", flush=True)
-            if ppl <= args.target_ppl:
+            consec_hits = consec_hits + 1 if ppl <= args.target_ppl else 0
+            if consec_hits >= 2:
                 break
             if wall > args.torch_max_seconds:
                 print("[torch] wall cap hit", flush=True)

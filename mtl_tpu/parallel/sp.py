@@ -30,6 +30,8 @@ Usage (eval/decode-time; training SP is unnecessary at the reference's
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -41,15 +43,14 @@ def sp_input_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data", "model", None))
 
 
-def encode_sp(model, params, features, lengths, mesh: Mesh):
-    """Run ``model.encode`` with the time axis sharded over ``model``.
-
-    ``features``: [B, T, F] log-spectrogram frames (the output of
-    ``ops.frontend``); ``lengths``: [B] raw frame counts (the reference's
-    raw-length mask quirk applies downstream as usual). Returns the encoder
-    output [B, T', D] gathered per the compiler's layout — numerically equal
-    to the unsharded ``model.encode`` (tests/test_parallel.py).
-    """
+@functools.lru_cache(maxsize=16)
+def _sp_encode_jit(model, mesh: Mesh):
+    """ONE jitted encode per (model, mesh) — shared by ``encode_sp`` and
+    ``lower_encode_sp`` so (a) repeated long-form encode calls at decode
+    time reuse the compiled executable instead of retracing a fresh closure
+    per call, and (b) the HLO the tests/dryrun assert on is the exact
+    program that executes (ADVICE r4). Flax modules and Mesh are hashable
+    frozen dataclasses, so lru_cache keys them directly."""
 
     @jax.jit
     def run(p, feats, lens):
@@ -59,21 +60,28 @@ def encode_sp(model, params, features, lengths, mesh: Mesh):
             lens, NamedSharding(mesh, P("data")))
         return model.apply(p, feats, lens, method=model.encode)
 
+    return run
+
+
+def encode_sp(model, params, features, lengths, mesh: Mesh):
+    """Run ``model.encode`` with the time axis sharded over ``model``.
+
+    ``features``: [B, T, F] log-spectrogram frames (the output of
+    ``ops.frontend``); ``lengths``: [B] raw frame counts (the reference's
+    raw-length mask quirk applies downstream as usual). Returns the encoder
+    output [B, T', D] gathered per the compiler's layout — numerically equal
+    to the unsharded ``model.encode`` (tests/test_parallel.py).
+    """
     with mesh:
-        return run(params, jnp.asarray(features), jnp.asarray(lengths))
+        return _sp_encode_jit(model, mesh)(
+            params, jnp.asarray(features), jnp.asarray(lengths))
 
 
 def lower_encode_sp(model, params, features, lengths, mesh: Mesh):
     """Compiled-artifact access for tests/analysis: returns the jitted
-    lowering so callers can inspect the post-SPMD HLO (all-gather at
-    attention, halo exchange at the convs) without executing."""
-
-    @jax.jit
-    def run(p, feats, lens):
-        feats = jax.lax.with_sharding_constraint(
-            feats, sp_input_sharding(mesh))
-        return model.apply(p, feats, lens, method=model.encode)
-
+    lowering (the SAME program ``encode_sp`` executes) so callers can
+    inspect the post-SPMD HLO (all-gather at attention, halo exchange at
+    the convs) without executing."""
     with mesh:
-        return run.lower(params, jnp.asarray(features),
-                         jnp.asarray(lengths))
+        return _sp_encode_jit(model, mesh).lower(
+            params, jnp.asarray(features), jnp.asarray(lengths))
