@@ -313,6 +313,69 @@ def test_scan_tasks_meta_step_matches_vmap(setup, per_task_query):
         np.testing.assert_allclose(ga, gb, atol=1e-6, rtol=1e-4)
 
 
+def test_emb_cnn_bn_merge_vs_sequential_chain():
+    """Pin the K>1 emb_cnn BatchNorm merge semantics (PARITY.md round 5):
+    the joint step's task-MEAN batch_stats fold (_merge_batch_stats) vs the
+    reference's sequential per-task momentum chain
+    (models/asr/transformer.py:38-46 run task-by-task). Same fixed point;
+    per-iteration gap bounded by (K-1)(1-m)|ra0 - mean(s_k)| + O((1-m)^2).
+    Zero-lr optimizer isolates the stat update from param movement."""
+    from mtl_tpu.models.transformer import build_model
+    from mtl_tpu.ops.targets import make_teacher_forcing
+    from mtl_tpu.train.steps import prepare_features
+
+    cfg = tiny_cfg(lr=1e-2, meta_lr=1e-3)
+    cfg.model.feat_extractor = "emb_cnn"
+    cfg.finalize()
+    model = build_model(cfg, 20)
+    b0 = feature_batch(jax.random.PRNGKey(0), b=2, t=48, f=161)
+    b1 = feature_batch(jax.random.PRNGKey(7), b=2, t=48, f=161)
+    opt = optax.sgd(0.0)
+    state = init_train_state(model, cfg, opt, jax.random.PRNGKey(1), b0)
+    ra0 = state.params["batch_stats"]
+
+    # merged: one joint step over the K=2 task stack
+    batches = jax.tree.map(lambda a, b: jnp.stack([a, b]), b0, b1)
+    st, _, _ = make_joint_step(model, cfg, opt)(state, batches,
+                                                jax.random.PRNGKey(2))
+    merged = st.params["batch_stats"]
+
+    # sequential: the reference's order-dependent chain, task by task;
+    # each task's raw batch stats s_k are recovered from the chain
+    # (ra_k = m*ra_{k-1} + (1-m)*s_k, flax BatchNorm momentum m=0.99)
+    m = 0.99
+    seq_vars = dict(state.params)
+    chain = [ra0]
+    for batch in (b0, b1):
+        feats, lens = prepare_features(batch, cfg)
+        seq_in, _ = make_teacher_forcing(batch["targets"])
+        _, mut = model.apply(seq_vars, feats, lens, seq_in,
+                             deterministic=False, mutable=["batch_stats"])
+        seq_vars = dict(seq_vars)
+        seq_vars["batch_stats"] = mut["batch_stats"]
+        chain.append(mut["batch_stats"])
+    seq = seq_vars["batch_stats"]
+
+    for r0, a, b, r1 in zip(jax.tree.leaves(ra0), jax.tree.leaves(merged),
+                            jax.tree.leaves(seq), jax.tree.leaves(chain[1])):
+        r0, a, b, r1 = map(np.asarray, (r0, a, b, r1))
+        s1 = (r1 - m * r0) / (1 - m)
+        s2 = (b - m * r1) / (1 - m)
+        # the merged fold is EXACTLY one momentum step toward the task mean
+        np.testing.assert_allclose(a, m * r0 + (1 - m) * (s1 + s2) / 2,
+                                   atol=1e-5, rtol=1e-4)
+        # and the documented PARITY.md bound covers the sequential gap
+        s_mean = (s1 + s2) / 2
+        bound = (1 - m) * np.abs(r0 - s_mean) \
+            + (1 - m) ** 2 * (np.abs(s1) + np.abs(s2) + np.abs(r0)) + 1e-5
+        assert (np.abs(a - b) <= bound + 1e-4).all()
+    # and the update actually happened (stats moved off the init)
+    moved = max(float(np.abs(np.asarray(a) - np.asarray(r)).max())
+                for a, r in zip(jax.tree.leaves(merged),
+                                jax.tree.leaves(ra0)))
+    assert moved > 0.0
+
+
 def test_scan_tasks_second_order_matches_vmap(setup):
     """The scan-over-tasks SECOND-ORDER meta step (grad-through-inner-SGD
     with the task loop under lax.scan — the data-sharded-mesh lowering for
