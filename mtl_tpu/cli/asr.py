@@ -140,6 +140,28 @@ def test_main(argv=None):
     # decode/audio settings come from the CLI, model arch from the checkpoint
     saved_cfg.decode = cfg.decode
     saved_cfg.data = cfg.data
+    # Sequence-parallel long-form eval (`--mesh-model M`): the encode runs
+    # with its TIME axis sharded over the mesh's model axis
+    # (parallel/sp.py:greedy_search_sp); the decoder runs unsharded from the
+    # gathered encoder output (cross-attention K/V are NOT sharded — the
+    # documented memory boundary). Long-form utterances exceed the
+    # checkpoint's trained src cap, so the CLI's --src-max-len wins when
+    # larger (the sinusoidal PE table extends losslessly; param shapes are
+    # unaffected).
+    sp_mesh = None
+    if cfg.mesh.model > 1:
+        from ..parallel.mesh import maybe_make_mesh
+
+        if cfg.decode.beam_search:
+            raise ValueError(
+                "--mesh-model (sequence-parallel encode) currently supports "
+                "greedy decode only; drop --beam-search or --mesh-model")
+        sp_mesh = maybe_make_mesh(cfg)
+        saved_cfg.model.src_max_len = max(saved_cfg.model.src_max_len,
+                                          cfg.model.src_max_len)
+        log_print(f"sequence-parallel encode: time axis over "
+                  f"model={sp_mesh.shape['model']} "
+                  f"(src_max_len={saved_cfg.model.src_max_len})")
     model = build_asr_model(saved_cfg, vocab)
     params = raw_state["params"]
 
@@ -197,6 +219,12 @@ def test_main(argv=None):
                     hyps = greedy_search(model, params, feats, lengths, vocab,
                                          cfg.decode.max_steps, vocab.SOS_ID)
                     nbest_lists = None
+            elif sp_mesh is not None:
+                from ..parallel.sp import greedy_search_sp
+
+                hyps = greedy_search_sp(model, params, feats, lengths, vocab,
+                                        cfg.decode.max_steps, vocab.SOS_ID,
+                                        sp_mesh)
             else:
                 hyps = greedy_search(model, params, feats, lengths, vocab,
                                      cfg.decode.max_steps, vocab.SOS_ID)

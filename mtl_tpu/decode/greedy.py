@@ -35,10 +35,25 @@ def greedy_decode_ids(
     ``early_exit`` stops the loop once every row has emitted EOS (identical
     outputs — post-EOS tokens are discarded on host anyway; the reference
     always runs the full 300 steps)."""
-    b = features.shape[0]
     enc, enc_kvs = model.apply(
         params, features, input_lengths, method=ASRTransformer.prepare_decode
     )
+    return greedy_decode_from_kv(model, params, enc_kvs, max_steps,
+                                 start_token, early_exit)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def greedy_decode_from_kv(
+    model: ASRTransformer,
+    params,
+    enc_kvs,  # precomputed cross-attention K/V (prepare_decode /
+    # precompute_enc_kv) — the entry the sequence-parallel long-form
+    # path decodes through (parallel/sp.py)
+    max_steps: int = 300,
+    start_token: int = 1,
+    early_exit: bool = True,
+) -> jnp.ndarray:
+    b = jax.tree.leaves(enc_kvs)[0].shape[0]
     caches = model.apply(params, b, max_steps + 1,
                          method=ASRTransformer.init_cache)
     y0 = jnp.full((b,), start_token, jnp.int32)

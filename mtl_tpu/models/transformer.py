@@ -131,6 +131,12 @@ class ASRTransformer(nn.Module):
         enc = self.encode(features, input_lengths, deterministic=True)
         return enc, self.decoder.precompute_enc_kv(enc)
 
+    def precompute_enc_kv(self, enc: jnp.ndarray) -> List[LayerKV]:
+        """Cross-attention K/V from a precomputed encoder output — the
+        decode entry for encoder outputs produced elsewhere (e.g. the
+        sequence-parallel long-form encode, parallel/sp.py)."""
+        return self.decoder.precompute_enc_kv(enc)
+
     def decode_step(self, y_t, t, enc_kvs, caches):
         return self.decoder.decode_step(y_t, t, enc_kvs, caches)
 

@@ -85,3 +85,31 @@ def lower_encode_sp(model, params, features, lengths, mesh: Mesh):
     with mesh:
         return _sp_encode_jit(model, mesh).lower(
             params, jnp.asarray(features), jnp.asarray(lengths))
+
+
+def greedy_search_sp(model, params, features, lengths, vocab, max_steps,
+                     start_token, mesh: Mesh):
+    """Long-form greedy decode with a sequence-parallel encode — the
+    product path behind ``test.py --mesh-model M`` (cli/asr.py:test_main).
+
+    The encode (the HBM-heavy stage: VGG convs + encoder self-attention at
+    full time resolution) runs with the TIME axis sharded over the mesh's
+    ``model`` axis; the decoder then runs UNSHARDED from the gathered
+    encoder output. Memory boundary (documented, not hidden): the decoder's
+    cross-attention K/V are materialized for the FULL encoder length on
+    every chip — at d_model=512 that is ~4 MB per 1000 encoder frames per
+    utterance, so the gathered-decode regime holds to hour-scale audio;
+    sharding the cross-attention itself is future work.
+    """
+    import numpy as np
+
+    from ..decode.greedy import greedy_decode_from_kv, ids_to_strings
+
+    enc = encode_sp(model, params, features, lengths, mesh)
+    # gather: bring the time-sharded encoder output to one addressable
+    # array, then decode outside the mesh (single-device decode program)
+    enc = jnp.asarray(np.asarray(enc))
+    enc_kvs = model.apply(params, enc, method=type(model).precompute_enc_kv)
+    ids = greedy_decode_from_kv(model, params, enc_kvs, max_steps,
+                                start_token, True)
+    return ids_to_strings(ids, vocab)
