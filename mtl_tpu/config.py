@@ -145,6 +145,11 @@ class TrainConfig:
     profile_dir: str = ""  # jax.profiler trace output (captures iters 3..8)
     device_cer: bool = False  # compute train CER on device (two scalars to
     # host instead of decoding token matrices into strings every iteration)
+    # Host-feed scaling: N prefetch workers computing future iterations
+    # concurrently (each iteration's draw is seeded by (seed, it), so the
+    # batch stream is identical for ANY worker count — trainer.py:
+    # MultiWorkerPrefetcher). 1 = the reference's double-buffer thread.
+    prefetch_workers: int = 1
 
 
 @dataclass
@@ -366,6 +371,10 @@ def _add_common_flags(p: argparse.ArgumentParser) -> None:
                         "vmap single-device)")
     p.add_argument("--no-scan-tasks", dest="scan_tasks",
                    action="store_false")
+    p.add_argument("--prefetch-workers", default=1, type=int,
+                   help="host prefetch workers; iteration draws are seeded "
+                        "by (seed, it) so the batch stream is identical for "
+                        "any worker count (1 = double-buffer thread)")
     p.add_argument("--seed", default=123456, type=int)
     p.add_argument("--mesh-data", default=1, type=int)
     p.add_argument("--mesh-task", default=1, type=int)
@@ -456,6 +465,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             profile_dir=args.profile_dir,
             device_cer=args.device_cer,
             train_cer_every=args.train_cer_every,
+            prefetch_workers=args.prefetch_workers,
         ),
         decode=DecodeConfig(
             beam_search=args.beam_search,

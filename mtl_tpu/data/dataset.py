@@ -187,29 +187,38 @@ class SpectrogramDataset:
     def __len__(self) -> int:
         return self.part_len
 
-    def _load_wave(self, audio_path: str) -> np.ndarray:
+    def _load_wave(self, audio_path: str, rng=None) -> np.ndarray:
+        rng = self.rng if rng is None else rng
         randomized = self.augment or self.noise_injector is not None
-        if not randomized and audio_path in self._wave_cache:
-            return self._wave_cache[audio_path]
+        if not randomized:
+            cached = self._wave_cache.get(audio_path)
+            if cached is not None:
+                return cached
         y = load_audio(audio_path, self.cfg.audio.sample_rate)
         if self.augment:
-            y = augment_audio(y, self.rng)
+            y = augment_audio(y, rng)
         if self.noise_injector is not None:
-            if self.rng.binomial(1, self.cfg.audio.noise_prob):
-                y = self.noise_injector.inject(y, self.rng)
+            if rng.binomial(1, self.cfg.audio.noise_prob):
+                y = self.noise_injector.inject(y, rng)
         if not randomized and self._wave_cache_cap > 0:
             if len(self._wave_cache) >= self._wave_cache_cap:
-                self._wave_cache.pop(next(iter(self._wave_cache)))
+                # best-effort eviction: prefetch workers share this cache,
+                # so concurrent mutation may race the iterator — drop the
+                # eviction rather than the batch
+                try:
+                    self._wave_cache.pop(next(iter(self._wave_cache)))
+                except (StopIteration, KeyError, RuntimeError):
+                    pass
             self._wave_cache[audio_path] = y
         return y
 
     def get_utterance(
-        self, manifest_id: int, sample_id: int
+        self, manifest_id: int, sample_id: int, rng=None
     ) -> Tuple[np.ndarray, List[int]]:
         ids = self.ids_list[manifest_id]
         audio_path, transcript_path = ids[sample_id % len(ids)]
         return (
-            self._load_wave(audio_path),
+            self._load_wave(audio_path, rng),
             parse_transcript(transcript_path, self.vocab,
                              self.cfg.data.input_type),
         )
@@ -252,17 +261,21 @@ class SpectrogramDataset:
         val = self._collate(pairs[k_train:], force_frames, force_tgt)
         return tr, val
 
-    def sample_pairs(self, k: int, manifest_id: int):
-        """Draw k raw (wave, transcript) pairs with per-manifest proba."""
+    def sample_pairs(self, k: int, manifest_id: int, rng=None):
+        """Draw k raw (wave, transcript) pairs with per-manifest proba.
+        ``rng`` overrides the dataset RandomState — prefetch workers pass a
+        per-iteration RandomState so the draw is a pure function of
+        (dataset, seed, iteration) regardless of worker count."""
+        rng = self.rng if rng is None else rng
         ids = self.ids_list[manifest_id]
-        chosen = self.rng.choice(
+        chosen = rng.choice(
             np.arange(len(ids)), k, p=self.proba[manifest_id], replace=True
         )
-        return [self.get_utterance(manifest_id, int(i)) for i in chosen]
+        return [self.get_utterance(manifest_id, int(i), rng) for i in chosen]
 
     def sample_meta_batch(
         self, k_train: int, k_valid: int, query_manifest_id: int = -1,
-        per_task_query: bool = False,
+        per_task_query: bool = False, rng=None,
     ):
         """One meta iteration's data: stacked support [K, B, ...] across ALL
         manifests plus the query batch.
@@ -273,12 +286,14 @@ class SpectrogramDataset:
         All batches share one (frames, tgt) bucket so tasks stack statically.
         """
         num_tasks = len(self.ids_list)
-        support_pairs = [self.sample_pairs(k_train, m) for m in range(num_tasks)]
+        support_pairs = [self.sample_pairs(k_train, m, rng)
+                         for m in range(num_tasks)]
         if per_task_query:
-            query_pairs = [self.sample_pairs(k_valid, m) for m in range(num_tasks)]
+            query_pairs = [self.sample_pairs(k_valid, m, rng)
+                           for m in range(num_tasks)]
         else:
             qid = query_manifest_id % num_tasks
-            query_pairs = [self.sample_pairs(k_valid, qid)]
+            query_pairs = [self.sample_pairs(k_valid, qid, rng)]
 
         hop = self.cfg.audio.hop_length
         all_pairs = [p for task in support_pairs + query_pairs for p in task]

