@@ -51,13 +51,22 @@ def make_features(cfg, b: int, rng: np.random.RandomState):
     return feats, lengths, audio_seconds
 
 
-def time_decode(run, feats, n_iters: int):
+def time_decode(run, feats, n_iters: int, warmup: int = 6):
     """Chained timing: each iteration's features depend on the previous
-    iteration's output ids, defeating tunnel-level dispatch dedup."""
+    iteration's output ids, defeating tunnel-level dispatch dedup.
+
+    ``warmup`` chained iterations run before the timed loop: the axon
+    tunnel's first ~5 dispatches of a fresh session carry 0.3-1.8 s of
+    one-time ramp that a single warmup dispatch does not absorb — measured
+    root cause of the round-3/round-4 20x greedy-RTF contradiction
+    (BASELINE.md round-5 decode section)."""
     import jax.numpy as jnp
 
     ids = run(feats)
     np.asarray(ids)  # compile + settle
+    for _ in range(warmup):
+        ids = run(feats + 1e-9 * jnp.sum(ids).astype(feats.dtype))
+    np.asarray(ids)
     t0 = time.perf_counter()
     for _ in range(n_iters):
         bump = (1e-9 * jnp.sum(ids).astype(feats.dtype))
