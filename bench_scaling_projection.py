@@ -254,34 +254,75 @@ VARIANTS = {
 }
 
 
-def main():
-    only = [a for a in sys.argv[1:] if not a.startswith("-")]
-    keys = only or list(VARIANTS)
+def _part_path(key: str) -> str:
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        f".projection_{key}.part.json")
+
+
+def run_one(key: str) -> None:
+    """Child mode: analyze ONE variant and persist a partial result.
+
+    Isolation matters: the vmap second-order variant ABORTS the XLA SPMD
+    partitioner itself (convolution_handler.cc:983 `Check failed:
+    new_input_batch_size % new_output_batch_size == 0` while partitioning
+    the grad of the feature-group query conv) — a C++ CHECK, not a Python
+    exception, so it must not take the other variants' results with it."""
     anchors, sources = measured_step_ms()
+    scan, so, anchor = VARIANTS[key]
+    variant, n_params = analyze(scan, so, anchors[anchor], sources[anchor])
+    variant["params"] = n_params
+    with open(_part_path(key), "w") as f:
+        json.dump(variant, f, indent=1)
+    print(f"{key}: wire {variant['wire_bytes_per_chip']/1e6:.1f} MB/chip"
+          f" (anchor {anchors[anchor]} ms, {sources[anchor]})", flush=True)
+
+
+def main():
+    import subprocess
+
+    anchors, _ = measured_step_ms()
     report = {
         "n_devices": N_DEVICES,
         "step_ms_anchors": anchors,
         "variants": {},
     }
+    for key in VARIANTS:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", key],
+            env=os.environ, timeout=3600,
+        )
+        part = _part_path(key)
+        if proc.returncode == 0 and os.path.exists(part):
+            with open(part) as f:
+                variant = json.load(f)
+            report["params"] = variant.pop("params", None)
+            if report.get("params"):
+                report["outer_grad_bytes_expected"] = report["params"] * 4
+            report["variants"][key] = variant
+            os.remove(part)
+        else:
+            # the one known aborter: vmap second-order (see run_one). A
+            # structured record beats a silent hole — this IS the result:
+            # the data-mesh second-order path must be the scan lowering.
+            report["variants"][key] = {
+                "error": ("XLA SPMD partitioner hard-abort (rc="
+                          f"{proc.returncode}): convolution_handler.cc "
+                          "Check failed while partitioning the vmapped "
+                          "feature-group conv gradient — this lowering "
+                          "cannot be compiled for a data-sharded mesh; "
+                          "use scan_tasks (the trainer's auto-select)."),
+            }
+            print(f"{key}: partitioner abort rc={proc.returncode} "
+                  f"(recorded)", flush=True)
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "scaling_projection.json")
-    if os.path.exists(path) and only:
-        with open(path) as f:  # partial run: keep the other variants
-            report["variants"] = json.load(f).get("variants", {})
-    for key in keys:
-        scan, so, anchor = VARIANTS[key]
-        variant, n_params = analyze(scan, so, anchors[anchor],
-                                    sources[anchor])
-        report["params"] = n_params
-        report["outer_grad_bytes_expected"] = n_params * 4  # f32
-        report["variants"][key] = variant
-        print(f"{key}: wire {variant['wire_bytes_per_chip']/1e6:.1f} MB/chip"
-              f" (anchor {anchors[anchor]} ms, {sources[anchor]})",
-              flush=True)
     print(json.dumps(report, indent=1))
     with open(path, "w") as f:
         json.dump(report, f, indent=1)
 
 
 if __name__ == "__main__":
-    main()
+    if "--one" in sys.argv:
+        run_one(sys.argv[sys.argv.index("--one") + 1])
+    else:
+        main()
