@@ -194,6 +194,88 @@ def run_tpu_bench(num_iters=20, warmup=3, scan_tasks=False,
     return utts / elapsed / n_chips, elapsed / num_iters
 
 
+def run_stretch_bench(num_iters=5, warmup=3, k=2):
+    """BASELINE.json configs[4] single-chip feasibility point: the 17-layer
+    d=1024 Conformer encoder under SECOND-ORDER meta-transfer (grad through
+    inner SGD), encoder remat, reduced per-task batch k (the full config
+    targets v5e-64; one chip proves the training mode runs and yields its
+    roofline). Reports step ms + XLA cost-analysis FLOPs/HBM bytes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from __graft_entry__ import _flagship_cfg
+    from mtl_tpu.models.transformer import build_model
+    from mtl_tpu.train.steps import init_train_state, make_meta_step
+
+    cfg = _flagship_cfg()
+    cfg.model.encoder_type = "conformer"
+    cfg.model.num_enc_layers = 17
+    cfg.model.num_heads = 8
+    cfg.model.dim_model = 1024
+    cfg.model.dim_key = 128
+    cfg.model.dim_value = 128
+    cfg.model.dim_inner = 2048
+    cfg.model.dim_emb = 1024
+    cfg.model.remat = True
+    cfg.train.second_order = True
+    cfg.finalize()
+    model = build_model(cfg, VOCAB_SIZE)
+    outer_opt = optax.adam(cfg.train.meta_lr)
+    step = make_meta_step(model, cfg, outer_opt, donate=True)
+
+    support = {
+        key: np.stack([
+            _synth(cfg, k, seed=i)[key] for i in range(K_TASKS)
+        ])
+        for key in ("audio", "audio_lengths", "targets", "src_percentages")
+    }
+    query = _synth(cfg, k, seed=100)
+    support = jax.tree.map(jnp.asarray, support)
+    query = jax.tree.map(jnp.asarray, query)
+    ex = jax.tree.map(lambda x: x[0], support)
+    state = init_train_state(model, cfg, outer_opt, jax.random.PRNGKey(0), ex)
+    n_params = sum(int(np.prod(x.shape))
+                   for x in jax.tree.leaves(state.params))
+
+    # roofline from the compiled program
+    lowered = step.lower(state, support, query, jax.random.PRNGKey(1))
+    cost = lowered.compile().cost_analysis()
+    cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+    flops = float(cost.get("flops", 0.0))
+    hbm = float(cost.get("bytes accessed", 0.0))
+
+    rng = jax.random.PRNGKey(1)
+    for _ in range(warmup):
+        rng, sub = jax.random.split(rng)
+        state, m = step(state, support, query, sub)
+    float(m["outer_loss"])
+    t0 = time.perf_counter()
+    for _ in range(num_iters):
+        rng, sub = jax.random.split(rng)
+        state, m = step(state, support, query, sub)
+    float(m["outer_loss"])
+    step_s = (time.perf_counter() - t0) / num_iters
+    utts = K_TASKS * k + k
+    return {
+        "stretch_step_ms": round(step_s * 1e3, 1),
+        "stretch_utt_per_s_per_chip": round(utts / step_s, 1),
+        "k_per_task": k,
+        "params": n_params,
+        "tflops_per_step": round(flops / 1e12, 2),
+        "hbm_gb_per_step": round(hbm / 1e9, 1),
+        "roofline_ms_memory": round(hbm / 819e9 * 1e3, 1),  # v5e ~819 GB/s
+        "roofline_ms_compute": round(flops / 197e12 * 1e3, 1),  # bf16 peak
+    }
+
+
+def _synth(cfg, b, seed):
+    from __graft_entry__ import _synthetic_batch
+
+    return _synthetic_batch(cfg, b, FRAMES, TGT_LEN, VOCAB_SIZE, seed=seed)
+
+
 def run_decode_bench(num_iters=5):
     """Greedy-decode real-time factor: seconds of audio decoded per second of
     wall time (batched KV-cache decode; the reference's beam RTF metric's
@@ -403,6 +485,12 @@ def main():
     if "--measure" in sys.argv:
         # Child mode (also usable directly when the backend is known-good).
         measure_and_print()
+        return
+
+    if "--stretch" in sys.argv:
+        result = run_stretch_bench()
+        print(json.dumps(result))
+        _persist_measured_steps({"stretch_so": result})
         return
 
     if "--variants" in sys.argv:

@@ -177,7 +177,10 @@ class ConformerEncoder(nn.Module):
 
         block_cls = ConformerBlock
         if self.remat:
-            block_cls = nn.remat(ConformerBlock)
+            # deterministic (arg 4: self, h, non_pad, attn, deterministic)
+            # must stay a python bool through the remat boundary, same as
+            # encoder.py:EncoderLayer remat.
+            block_cls = nn.remat(ConformerBlock, static_argnums=(4,))
         for i in range(self.num_layers):
             h = block_cls(self.num_heads, self.dim_model, self.ff_expansion,
                           self.conv_kernel, self.dropout, self.dtype,

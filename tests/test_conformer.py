@@ -57,6 +57,36 @@ def test_conformer_asr_model_forward():
     assert bool(jnp.all(jnp.isfinite(logits)))
 
 
+def test_conformer_remat_matches_and_trains():
+    """remat=True must be numerically identical to remat=False and must
+    differentiate in train mode (deterministic=False + dropout), i.e. the
+    `deterministic` bool stays static through the nn.remat boundary — the
+    configuration the stretch bench (bench.py --stretch) runs."""
+    kw = dict(num_layers=2, num_heads=2, dim_model=16, dim_input=24,
+              dropout=0.1, dtype=jnp.float32)
+    enc = ConformerEncoder(**kw)
+    enc_r = ConformerEncoder(remat=True, **kw)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 24))
+    lengths = jnp.array([10, 7])
+    params = enc.init(jax.random.PRNGKey(1), x, lengths)
+
+    out = enc.apply(params, x, lengths)
+    out_r = enc_r.apply(params, x, lengths)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_r), atol=1e-6)
+
+    def loss(p, module):
+        y = module.apply(p, x, lengths, deterministic=False,
+                         rngs={"dropout": jax.random.PRNGKey(2)})
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)(params, enc)
+    g_r = jax.grad(loss)(params, enc_r)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5),
+        g, g_r)
+
+
 def test_tp_sharding_rules():
     from jax.sharding import PartitionSpec as P
 
