@@ -437,6 +437,16 @@ def _persist_measured_steps(update: dict) -> None:
         json.dump(record, f, indent=1)
 
 
+def _read_measured_steps() -> dict:
+    if not os.path.exists(MEASURED_STEPS_PATH):
+        return {}
+    try:
+        with open(MEASURED_STEPS_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
 def measure_and_print():
     """Child mode: run the actual benchmark and print the one JSON line."""
     value, step_ms = run_tpu_bench()
@@ -470,6 +480,13 @@ def measure_and_print():
     ppl_speedup = matched_ppl_speedup()
     if ppl_speedup:
         out["matched_ppl_lm_speedup_vs_reference_cpu"] = ppl_speedup
+    stretch = _read_measured_steps().get("stretch_so")
+    if stretch:
+        # measured by `bench.py --stretch` (BASELINE configs[4] second-order
+        # Conformer feasibility point); persisted, not re-run every bench
+        out["stretch_so_step_ms"] = stretch.get("stretch_step_ms")
+    else:
+        _warn("omitting stretch_so_step_ms (run bench.py --stretch)")
     print(json.dumps(out))
 
 

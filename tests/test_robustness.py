@@ -234,11 +234,11 @@ def test_trainer_recovers_from_corrupt_wav(tiny_cfg, capsys):
     calls = {"n": 0}
     orig = ds._load_wave
 
-    def flaky(path):
+    def flaky(path, rng=None):
         calls["n"] += 1
         if 9 <= calls["n"] <= 16:
             raise ValueError(f"corrupt wav: {path}")
-        return orig(path)
+        return orig(path, rng)
 
     ds._load_wave = flaky
 
