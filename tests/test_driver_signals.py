@@ -52,6 +52,33 @@ def test_dryrun_deadline_is_a_clean_error_not_a_hang():
     assert "DEADLINE_OK" in p.stdout
 
 
+def test_bench_persisted_metrics_present_not_silently_omitted():
+    """The no-silent-omission rule (VERDICT r4 #2): every persisted
+    matched-quality / stretch result in the repo must be readable by the
+    bench helpers that fold them into the official JSON — and a missing
+    one must warn, not vanish."""
+    sys.path.insert(0, REPO)
+    try:
+        import bench
+    finally:
+        sys.path.remove(REPO)
+
+    # this repo ships completed records for all three; the helpers must
+    # surface them (a blank side would return None and only warn)
+    assert bench.matched_ppl_speedup() > 0
+    assert bench.matched_cer_speedups()  # non-empty dict of scale -> speedup
+    stretch = bench._read_measured_steps().get("stretch_so")
+    assert stretch and stretch["stretch_step_ms"] > 0
+
+    # and the reader must degrade to {} (not raise) when the file is absent
+    orig = bench.MEASURED_STEPS_PATH
+    bench.MEASURED_STEPS_PATH = os.path.join(REPO, "does_not_exist.json")
+    try:
+        assert bench._read_measured_steps() == {}
+    finally:
+        bench.MEASURED_STEPS_PATH = orig
+
+
 def test_bench_emits_error_json_when_backend_dead():
     """bench.py must emit ONE parseable JSON error line (with last_measured)
     and exit 0 when the TPU backend is unreachable — never a traceback."""
