@@ -124,6 +124,11 @@ def run_tpu(ntokens, ds, target_valid, args):
 
     model = RNNLM(ntoken=ntokens, **ARCH)
     params = model.init(jax.random.PRNGKey(3), jnp.zeros((2, 1), jnp.int32))
+    # the shared-init contract: what run_torch receives must be THESE
+    # weights, not the trained ones (a round-5 diagnostic caught the torch
+    # side starting from our converged params and "reaching target" by
+    # wobbling around it — same_init was silently violated)
+    init_params = jax.tree.map(np.asarray, params)
     ratios = joint_ratios(K_TASKS, RATIO)
     step = make_lm_meta_step(model, CLIP, ratios, META_LR_FACTOR)
     rng = jax.random.PRNGKey(0)
@@ -169,7 +174,7 @@ def run_tpu(ntokens, ds, target_valid, args):
                 else:
                     lr /= 4.0
             t0 = time.perf_counter()
-    return params, curve
+    return init_params, curve
 
 
 def torch_evaluate(tm, stream, ntokens, eval_batch_size=10):

@@ -320,3 +320,32 @@ def test_lm_meta_main_final_report(tmp_path, capsys):
     out = capsys.readouterr().out
     assert out.count("| End of training | test loss") == 2
     assert "meta loss" in out
+
+
+def test_matched_ppl_harness_returns_the_shared_init_not_trained_params():
+    """The matched-ppl protocol's same_init contract: run_tpu must hand
+    run_torch the INITIAL weights. A round-5 diagnostic caught it returning
+    the trained params — the torch side then 'converged' by wobbling around
+    our already-trained point, corrupting the recorded speedup."""
+    import argparse
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bench_matched_ppl import ARCH, build_data, run_tpu
+    from mtl_tpu.lm.model import RNNLM
+
+    corpora, dictionary, ds, target_valid = build_data()
+    ntokens = len(dictionary)
+    args = argparse.Namespace(max_iters=2, eval_every=1, target_ppl=1e9,
+                              anneal_every=0)
+    returned_init, curve = run_tpu(ntokens, ds, target_valid, args)
+
+    model = RNNLM(ntoken=ntokens, **ARCH)
+    expected = model.init(jax.random.PRNGKey(3), jnp.zeros((2, 1), jnp.int32))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        returned_init, expected)
+    assert len(curve) >= 1  # it trained (so init != trained is meaningful)
